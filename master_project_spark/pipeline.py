@@ -1,0 +1,224 @@
+"""The KG construction pipeline: transcripts -> triples/mentions/chunks ->
+linking -> canonicalization -> nodes/edges, with per-stage snapshot commits,
+per-partition lineage metrics, and resume.
+
+Stage plan (new-engine lifecycle, SURVEY.md §3):
+
+  scan transcripts
+    -> [extract]   repartition(hash(conv_id, turn_idx)) -> mapInPandas
+                   triple + mention extraction (stateless per turn => hash on
+                   the FULL key: perfectly balanced even under Zipf conv_id
+                   skew — this is the salting strategy for the UDF stages)
+    -> [chunks]    groupBy(conv_id).applyInPandas (order restored inside,
+                   W1/W2); corpus keyword filter (P1) BEFORE any downstream
+                   embedding — the hand-kept pushdown Catalyst can't do
+                   across opaque UDFs (SURVEY §4)
+    -> [link]      mentions x broadcast(alias_dict) (J6 — broadcast hash
+                   join, no shuffle on the skewed surface side)
+    -> [canon]     MinHash-LSH blocking + iterative-join connected components
+    -> [graph]     nodes + edges tables
+    -> [metrics]   run_metrics: per-stage wall/rows + per-file lineage
+
+Every stage commits via TableIO (parquet + manifest snapshot); a rerun with
+the same input fingerprint skips committed stages (resume-from-checkpoint,
+north rule).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import core
+from .canonicalize import build_entity_map
+from .tableio import TableIO
+from .udfs import (CHUNKS_SCHEMA, MENTIONS_SCHEMA, TRIPLES_SCHEMA,
+                   chunk_conversation, extract_mentions_batches,
+                   extract_triples_batches)
+
+
+@dataclass
+class PipelineResult:
+    run_id: str
+    out_dir: str
+    tables: dict = field(default_factory=dict)
+    metrics: list = field(default_factory=list)
+
+    @property
+    def triples(self) -> DataFrame:
+        return self.tables["triples"]
+
+
+def input_fingerprint(transcripts: DataFrame) -> str:
+    """Cheap deterministic input identity: one pass computing row count +
+    order-independent content hash. Drives snapshot ids for resume."""
+    row = transcripts.select(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(conv_id, turn_idx, text))").alias("h"),
+    ).collect()[0]
+    return f"{row['n']}:{row['h']}"
+
+
+class _StageRunner:
+    def __init__(self, spark: SparkSession, io: TableIO, base_token: str,
+                 resume: bool, run_id: str):
+        self.spark, self.io, self.base_token = spark, io, base_token
+        self.resume, self.run_id = resume, run_id
+        self.metrics: list[dict] = []
+
+    def run(self, name: str, compute, partition_by: list[str] | None = None,
+            extra: str = "") -> DataFrame:
+        snapshot_id = hashlib.sha256(
+            f"{name}:{self.base_token}:{extra}".encode()).hexdigest()[:16]
+        t0 = time.perf_counter()
+        if self.resume and self.io.is_committed(name, snapshot_id):
+            manifest = self.io.manifest(name)
+            self.metrics.append({
+                "run_id": self.run_id, "stage": name,
+                "snapshot_id": snapshot_id, "skipped": True,
+                "rows_out": manifest["rows"], "n_files": manifest["n_files"],
+                "wall_ms": 0.0,
+                "files_json": json.dumps(manifest["files"]),
+            })
+            return self.io.read(self.spark, name)
+        df = compute()
+        manifest = self.io.commit(df, name, snapshot_id,
+                                  partition_by=partition_by)
+        self.metrics.append({
+            "run_id": self.run_id, "stage": name, "snapshot_id": snapshot_id,
+            "skipped": False, "rows_out": manifest["rows"],
+            "n_files": manifest["n_files"],
+            "wall_ms": round((time.perf_counter() - t0) * 1000, 3),
+            "files_json": json.dumps(manifest["files"]),
+        })
+        return self.io.read(self.spark, name)
+
+
+def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
+                 alias_dict: DataFrame, *, resume: bool = True,
+                 with_chunks: bool = True, run_id: str | None = None,
+                 extract_partitions: int | None = None) -> PipelineResult:
+    io = TableIO(out_dir)
+    fp = input_fingerprint(transcripts)
+    run_id = run_id or f"run_{hashlib.sha256(f'{fp}:{time.time()}'.encode()).hexdigest()[:10]}"
+    st = _StageRunner(spark, io, fp, resume, run_id)
+    n_part = extract_partitions or spark.sparkContext.defaultParallelism * 2
+
+    # ---- extract: per-turn, stateless => hash-balanced on the full key
+    turns = transcripts.select("conv_id", "turn_idx", "ts", "text") \
+        .repartition(n_part, "conv_id", "turn_idx")
+
+    triples = st.run(
+        "triples",
+        lambda: turns.mapInPandas(extract_triples_batches, TRIPLES_SCHEMA))
+    mentions = st.run(
+        "mentions",
+        lambda: turns.drop("ts").mapInPandas(
+            extract_mentions_batches, MENTIONS_SCHEMA))
+
+    tables = {"triples": triples, "mentions": mentions}
+
+    # ---- chunks + corpus filter (conversation-grouped; the ONLY stage that
+    # must shuffle on conv_id — ragged order-dependent chunking, W1)
+    if with_chunks:
+        chunks = st.run(
+            "chunks",
+            lambda: transcripts.select("conv_id", "turn_idx", "text")
+            .groupBy("conv_id").applyInPandas(chunk_conversation, CHUNKS_SCHEMA))
+        # P1 corpus filter: cheap rlike BEFORE anything expensive downstream
+        alternation = core.keyword_alternation(core.DATASET_KEYWORDS
+                                               + core.BASELINE_KEYWORDS)
+        tables["chunks"] = chunks
+        tables["corpus"] = st.run(
+            "corpus",
+            lambda: chunks.filter(F.col("chunk_text").rlike(alternation)))
+
+    # ---- link mentions against the broadcast alias dictionary (J6)
+    linked = st.run(
+        "linked_mentions",
+        lambda: mentions.join(
+            F.broadcast(alias_dict),
+            F.lower(F.col("surface")) == F.col("alias"), "left")
+        .select("conv_id", "turn_idx", "mention_id", "surface", "mtype",
+                "canonical_id",
+                F.coalesce(F.col("prior"), F.lit(0.0)).alias("link_score")))
+    tables["linked_mentions"] = linked
+
+    # ---- canonicalize surfaces (subjects contribute too, minus 'self')
+    surfaces = (
+        mentions.select("surface")
+        .union(triples.filter(F.col("subj") != core.SELF_SUBJECT)
+               .select(F.col("subj").alias("surface")))
+        .distinct())
+    entity_map, n_dropped_buckets = build_entity_map(surfaces, alias_dict)
+    entity_map = st.run("entity_map", lambda: entity_map)
+    tables["entity_map"] = entity_map
+
+    # ---- graph materialization
+    def _nodes():
+        return (
+            linked.join(entity_map, "surface")
+            .groupBy("entity_id")
+            .agg(F.min("surface").alias("canonical"),
+                 F.sort_array(F.collect_set("surface")).alias("aliases"),
+                 F.count(F.lit(1)).alias("n_mentions"))
+        )
+    nodes = st.run("nodes", _nodes)
+    tables["nodes"] = nodes
+
+    def _edges():
+        em_subj = entity_map.select(
+            F.col("surface").alias("subj"), F.col("entity_id").alias("src"))
+        em_obj = entity_map.select(
+            F.col("surface").alias("obj"), F.col("entity_id").alias("dst"))
+        t = (triples
+             .withColumn("self_src", F.concat(F.lit("conv:"), F.col("conv_id")))
+             .join(em_subj, "subj", "left")
+             .join(em_obj, "obj", "left"))
+        return (
+            t.select(
+                F.when(F.col("subj") == core.SELF_SUBJECT, F.col("self_src"))
+                .otherwise(F.coalesce(F.col("src"), F.col("subj"))).alias("src"),
+                F.coalesce(F.col("dst"), F.col("obj")).alias("dst"),
+                "pred", "ts", "confidence")
+            .groupBy("src", "dst", "pred")
+            .agg(F.count(F.lit(1)).alias("weight"),
+                 F.round(F.avg("confidence"), 6).alias("avg_confidence"),
+                 F.min("ts").alias("first_ts"),
+                 F.max("ts").alias("last_ts"))
+        )
+    edges = st.run("edges", _edges)
+    tables["edges"] = edges
+
+    # ---- ordering invariant check (rides its own tiny agg; north_star's
+    # Window.partitionBy(conv_id).orderBy(turn_idx) contract)
+    order_violations = (
+        transcripts.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("turn_idx").alias("lo"), F.max("turn_idx").alias("hi"),
+             F.countDistinct("turn_idx").alias("nd"))
+        .filter((F.col("n") != F.col("nd"))
+                | (F.col("hi") - F.col("lo") + 1 != F.col("n"))).count())
+
+    # ---- run_metrics table
+    st.metrics.append({
+        "run_id": run_id, "stage": "_order_check",
+        "snapshot_id": "", "skipped": False,
+        "rows_out": order_violations, "n_files": 0, "wall_ms": 0.0,
+        "files_json": json.dumps({"lsh_buckets_dropped": n_dropped_buckets}),
+    })
+    metrics_df = spark.createDataFrame(
+        [(m["run_id"], m["stage"], m["snapshot_id"], bool(m["skipped"]),
+          int(m["rows_out"]), int(m["n_files"]), float(m["wall_ms"]),
+          m["files_json"]) for m in st.metrics],
+        "run_id string, stage string, snapshot_id string, skipped boolean, "
+        "rows_out long, n_files int, wall_ms double, files_json string")
+    metrics_df.write.mode("append").parquet(f"{out_dir}/run_metrics")
+    tables["run_metrics"] = spark.read.parquet(f"{out_dir}/run_metrics")
+
+    return PipelineResult(run_id=run_id, out_dir=out_dir, tables=tables,
+                          metrics=st.metrics)

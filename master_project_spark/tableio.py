@@ -1,0 +1,89 @@
+"""Snapshot-committed table IO with manifest-based resume.
+
+The north rule requires every stage to checkpoint per-partition with lineage
+so a killed run resumes from the last committed snapshot. The sandbox has no
+Iceberg runtime jar, so this is the thin ``TableIO`` fallback from SURVEY.md
+§7 ("iceberg | parquet+manifest"): parquet data + a ``_manifest.json``
+written LAST (commit point). A stage whose manifest matches the computed
+``snapshot_id`` (a fingerprint of stage name + config + input) is skipped on
+resume — the Spark-native generalization of the reference's XML-cache probe
+(utils.py:38-47, main.py:80-87).
+
+Crash safety: data files may be half-written when a run is killed, but the
+manifest is only written after the parquet write action completes, so an
+absent/mismatched manifest => recompute (overwrite). Committed == readable.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableIO:
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    def _data_dir(self, name: str) -> Path:
+        return self.root / name
+
+    def _manifest_path(self, name: str) -> Path:
+        return self.root / f"{name}._manifest.json"
+
+    def is_committed(self, name: str, snapshot_id: str) -> bool:
+        mp = self._manifest_path(name)
+        if not mp.exists():
+            return False
+        try:
+            manifest = json.loads(mp.read_text())
+        except (json.JSONDecodeError, OSError):
+            return False
+        return manifest.get("snapshot_id") == snapshot_id
+
+    def commit(self, df: DataFrame, name: str, snapshot_id: str,
+               partition_by: list[str] | None = None) -> dict:
+        """Write parquet, then the manifest (the commit point). Returns the
+        manifest, including per-file (== per output partition) row counts —
+        the lineage record."""
+        path = self._data_dir(name)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(path))
+
+        spark = df.sparkSession
+        from pyspark.sql import functions as F
+        back = spark.read.parquet(str(path))
+        per_file = (
+            back.groupBy(F.input_file_name().alias("file"))
+            .count()
+            .collect()
+        )
+        files = sorted(
+            ({"file": r["file"].rsplit("/", 1)[-1], "rows": r["count"]}
+             for r in per_file),
+            key=lambda d: d["file"])
+        manifest = {
+            "table": name,
+            "snapshot_id": snapshot_id,
+            "rows": sum(f["rows"] for f in files),
+            "n_files": len(files),
+            "files": files,
+            "committed_at": time.time(),
+            "schema": back.schema.jsonValue(),
+        }
+        tmp = self._manifest_path(name).with_suffix(".tmp")
+        tmp.write_text(json.dumps(manifest, indent=1))
+        tmp.replace(self._manifest_path(name))  # atomic commit
+        return manifest
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(str(self._data_dir(name)))
+
+    def manifest(self, name: str) -> dict | None:
+        mp = self._manifest_path(name)
+        return json.loads(mp.read_text()) if mp.exists() else None

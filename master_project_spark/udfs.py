@@ -1,0 +1,150 @@
+"""Vectorized pandas/Arrow UDF wrappers around the shared pure core.
+
+Per BASELINE.json input_hint: "vectorized pandas/Arrow UDFs (no per-row
+Python) throughout" — every wrapper here is a Series-at-a-time pandas_udf, a
+mapInPandas batch iterator, or an applyInPandas grouped map. The heavy logic
+lives in ``core`` (shared with the oracle), so Spark and oracle cannot
+diverge.
+
+Executor-side pattern (SURVEY.md §4 physical notes): compiled regex banks are
+module globals imported once per executor Python worker, never per batch —
+the Spark analog of the reference's module-level embedder (texts.py:122).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from . import core
+
+# ---------------------------------------------------------------- schemas
+
+TRIPLES_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("subj", T.StringType()),
+    T.StructField("pred", T.StringType()),
+    T.StructField("obj", T.StringType()),
+    T.StructField("confidence", T.DoubleType()),
+    T.StructField("mtype", T.StringType()),
+])
+
+MENTIONS_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("mention_id", T.IntegerType()),
+    T.StructField("surface", T.StringType()),
+    T.StructField("span_start", T.IntegerType()),
+    T.StructField("span_end", T.IntegerType()),
+    T.StructField("mtype", T.StringType()),
+])
+
+CHUNKS_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("chunk_idx", T.IntegerType()),
+    T.StructField("chunk_text", T.StringType()),
+])
+
+
+# ------------------------------------------------------- mapInPandas stages
+
+def extract_triples_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas: per-turn stateless triple extraction (the deterministic
+    stand-in for ent_extraction.py:295-344). Stateless per row => safe under
+    ANY partitioning, so the stage hashes on (conv_id, turn_idx) for perfect
+    balance regardless of conv_id skew."""
+    for pdf in batches:
+        out = {k: [] for k in ("conv_id", "turn_idx", "ts", "subj", "pred",
+                               "obj", "confidence", "mtype")}
+        for conv_id, turn_idx, ts, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["ts"], pdf["text"]):
+            for t in core.extract_triples(text or ""):
+                out["conv_id"].append(conv_id)
+                out["turn_idx"].append(turn_idx)
+                out["ts"].append(ts)
+                out["subj"].append(t["subj"])
+                out["pred"].append(t["pred"])
+                out["obj"].append(t["obj"])
+                out["confidence"].append(t["confidence"])
+                out["mtype"].append(t["mtype"])
+        yield pd.DataFrame(out)
+
+
+def extract_mentions_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas: per-turn mention detection with spans."""
+    for pdf in batches:
+        out = {k: [] for k in ("conv_id", "turn_idx", "mention_id", "surface",
+                               "span_start", "span_end", "mtype")}
+        for conv_id, turn_idx, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+            for m in core.extract_mentions(text or ""):
+                out["conv_id"].append(conv_id)
+                out["turn_idx"].append(turn_idx)
+                out["mention_id"].append(m["mention_id"])
+                out["surface"].append(m["surface"])
+                out["span_start"].append(m["span_start"])
+                out["span_end"].append(m["span_end"])
+                out["mtype"].append(m["mtype"])
+        yield pd.DataFrame(out)
+
+
+# -------------------------------------------------- applyInPandas (grouped)
+
+def chunk_conversation(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas grouped-map over conv_id: W1, the order-dependent
+    ragged chunker (texts.py:7-26,124-128). Spark does NOT guarantee
+    intra-group row order, so we sort by turn_idx inside (SURVEY §2.5 W2)."""
+    pdf = pdf.sort_values("turn_idx")
+    conv_id = pdf["conv_id"].iloc[0]
+    text = " ".join(t or "" for t in pdf["text"])
+    chunks = core.chunker(text, max_tokens=200, overlap=2)
+    return pd.DataFrame({
+        "conv_id": [conv_id] * len(chunks),
+        "chunk_idx": list(range(len(chunks))),
+        "chunk_text": chunks,
+    })
+
+
+# ----------------------------------------------------------- scalar pandas
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def split_sentences_udf(texts: pd.Series) -> pd.Series:
+    """texts.py:72-120 normalize+split, vectorized per Arrow batch."""
+    return texts.map(lambda t: core.normalize_and_split(t or ""))
+
+
+@pandas_udf(T.StringType())
+def normalize_text_udf(texts: pd.Series) -> pd.Series:
+    """Normalized turn text = ' '.join(normalized sentences)."""
+    return texts.map(lambda t: " ".join(core.normalize_and_split(t or "")))
+
+
+@pandas_udf(T.ArrayType(T.FloatType()))
+def embed_text_udf(texts: pd.Series) -> pd.Series:
+    """Deterministic hashed-BoW embedding (stand-in for texts.py:122)."""
+    return texts.map(lambda t: core.embed_text(t or ""))
+
+
+@pandas_udf(T.ArrayType(T.LongType()))
+def minhash_udf(surfaces: pd.Series) -> pd.Series:
+    """16-hash MD5 MinHash over char-3-shingles, for LSH blocking."""
+    return surfaces.map(lambda s: core.minhash_signature(s or ""))
+
+
+@pandas_udf(T.LongType())
+def simhash_udf(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over tokens (returned as signed int64)."""
+    def f(t):
+        v = core.simhash64(core.words((t or "").lower()))
+        return v - (1 << 64) if v >= (1 << 63) else v
+    return texts.map(f)
+
+
+@pandas_udf(T.StringType())
+def canonical_key_udf(surfaces: pd.Series) -> pd.Series:
+    return surfaces.map(lambda s: core.canonical_key(s or ""))

@@ -1,0 +1,181 @@
+"""End-to-end pipeline correctness (SURVEY.md §5.2 items 2, 4, 5, 6).
+
+The keystone gate: Spark pipeline triples vs the single-process oracle at
+exact (conv_id, turn_idx, subj, pred, obj) match, P/R >= 0.95 (BASELINE.json;
+target 1.0 since both sides share core.py).
+"""
+
+import pytest
+
+from master_project_spark import core
+from master_project_spark.datagen import (alias_df, gen_transcripts,
+                                          transcripts_df, alias_spark_schema,
+                                          transcripts_spark_schema)
+from master_project_spark.oracle import (oracle_chunks, oracle_mentions,
+                                         oracle_triples, precision_recall)
+from master_project_spark.pipeline import run_pipeline
+
+N_CONVS, MAX_TURNS = 60, 25
+
+
+@pytest.fixture(scope="module")
+def rows():
+    return gen_transcripts(N_CONVS, MAX_TURNS, seed=42)
+
+
+@pytest.fixture(scope="module")
+def result(spark, rows, tmp_path_factory):
+    out = tmp_path_factory.mktemp("kg_out")
+    tdf = spark.createDataFrame(rows, transcripts_spark_schema())
+    return run_pipeline(spark, tdf, str(out), alias_df(spark), resume=False)
+
+
+def _triple_tuples(df):
+    return [(r["conv_id"], r["turn_idx"], r["subj"], r["pred"], r["obj"])
+            for r in df.select("conv_id", "turn_idx", "subj", "pred",
+                               "obj").collect()]
+
+
+def test_triples_pr_vs_oracle(result, rows):
+    got = _triple_tuples(result.tables["triples"])
+    gold = [(t["conv_id"], t["turn_idx"], t["subj"], t["pred"], t["obj"])
+            for t in oracle_triples(rows)]
+    p, r = precision_recall(got, gold)
+    assert p >= 0.95 and r >= 0.95, (p, r)
+    # shared core => must actually be exact
+    assert sorted(got) == sorted(gold)
+
+
+def test_mentions_match_oracle(result, rows):
+    got = sorted((r["conv_id"], r["turn_idx"], r["surface"], r["mtype"],
+                  r["span_start"], r["span_end"])
+                 for r in result.tables["mentions"].collect())
+    gold = sorted((m["conv_id"], m["turn_idx"], m["surface"], m["mtype"],
+                   m["span_start"], m["span_end"])
+                  for m in oracle_mentions(rows))
+    assert got == gold
+
+
+def test_chunks_match_oracle(result, rows):
+    got = sorted((r["conv_id"], r["chunk_idx"], r["chunk_text"])
+                 for r in result.tables["chunks"].collect())
+    gold = sorted((c["conv_id"], c["chunk_idx"], c["chunk_text"])
+                  for c in oracle_chunks(rows))
+    assert got == gold
+
+
+def test_linking_broadcast_hits(result):
+    linked = result.tables["linked_mentions"]
+    n_linked = linked.filter("canonical_id is not null").count()
+    assert n_linked > 0
+    # every known dataset mention must link
+    hit = linked.filter("lower(surface) = 'squad'")
+    assert hit.count() == hit.filter("canonical_id = 'ent_squad'").count()
+
+
+def test_canonicalization_merges_aliases(result):
+    em = {r["surface"]: r["entity_id"]
+          for r in result.tables["entity_map"].collect()}
+    # dictionary-linked alias pair lands on one entity
+    if "SQuAD" in em and "Stanford Question Answering Dataset" in em:
+        assert em["SQuAD"] == em["Stanford Question Answering Dataset"]
+    # every surface got an entity id
+    assert all(v for v in em.values())
+
+
+def test_graph_tables(result):
+    nodes = result.tables["nodes"]
+    edges = result.tables["edges"]
+    assert nodes.count() > 0 and edges.count() > 0
+    assert set(edges.columns) == {"src", "dst", "pred", "weight",
+                                  "avg_confidence", "first_ts", "last_ts"}
+    # 'self' subjects became conv-scoped nodes
+    assert edges.filter("src like 'conv:%'").count() > 0
+    # weights aggregate duplicates
+    assert edges.selectExpr("max(weight)").collect()[0][0] >= 1
+
+
+def test_run_metrics_lineage(result):
+    m = result.tables["run_metrics"]
+    stages = {r["stage"] for r in m.collect()}
+    assert {"triples", "mentions", "entity_map", "nodes", "edges"} <= stages
+    # per-file lineage recorded
+    assert m.filter("stage = 'triples'").collect()[0]["files_json"]
+    # ordering invariant held
+    oc = m.filter("stage = '_order_check'").collect()[0]
+    assert oc["rows_out"] == 0
+
+
+def test_repartition_invariance(spark, rows, result, tmp_path_factory):
+    """SURVEY §5.2 item 4: output invariant under repartition(1) and input
+    row-order shuffling."""
+    out = tmp_path_factory.mktemp("kg_rep1")
+    tdf = (spark.createDataFrame(list(reversed(rows)),
+                                 transcripts_spark_schema())
+           .repartition(1))
+    res1 = run_pipeline(spark, tdf, str(out), alias_df(spark), resume=False,
+                        with_chunks=False, extract_partitions=1)
+    assert sorted(_triple_tuples(res1.tables["triples"])) == \
+        sorted(_triple_tuples(result.tables["triples"]))
+
+
+def test_resume_skips_committed_stages(spark, rows, tmp_path_factory):
+    """SURVEY §5.2 item 5: second run over the same input skips every
+    committed stage and yields identical tables."""
+    out = str(tmp_path_factory.mktemp("kg_resume"))
+    tdf = transcripts_df(spark, 20, 10, seed=7)
+    r1 = run_pipeline(spark, tdf, out, alias_df(spark), resume=True,
+                      with_chunks=False)
+    assert all(not m["skipped"] for m in r1.metrics
+               if m["stage"] != "_order_check")
+    r2 = run_pipeline(spark, tdf, out, alias_df(spark), resume=True,
+                      with_chunks=False)
+    skipped = {m["stage"] for m in r2.metrics if m["skipped"]}
+    assert {"triples", "mentions", "linked_mentions"} <= skipped
+    assert sorted(_triple_tuples(r1.tables["triples"])) == \
+        sorted(_triple_tuples(r2.tables["triples"]))
+
+
+def test_resume_recomputes_on_input_change(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("kg_changed"))
+    r1 = run_pipeline(spark, transcripts_df(spark, 10, 8, seed=1), out,
+                      alias_df(spark), resume=True, with_chunks=False)
+    r2 = run_pipeline(spark, transcripts_df(spark, 10, 8, seed=2), out,
+                      alias_df(spark), resume=True, with_chunks=False)
+    assert all(not m["skipped"] for m in r2.metrics
+               if m["stage"] != "_order_check")
+
+
+def test_kill_and_resume_partial_outputs(spark, tmp_path_factory):
+    """Simulated kill: only some stages committed (manifest written), the
+    next stage's data half-written without manifest -> rerun recomputes the
+    uncommitted stage, reuses the committed one, and the final output equals
+    an uninterrupted run."""
+    import shutil
+    from pathlib import Path
+
+    out = Path(str(tmp_path_factory.mktemp("kg_kill")))
+    tdf = transcripts_df(spark, 15, 10, seed=3)
+    full = run_pipeline(spark, tdf, str(out / "full"), alias_df(spark),
+                        resume=True, with_chunks=False)
+
+    # stage a "killed" run: copy triples (committed) but leave mentions as
+    # garbage data with NO manifest
+    killed = out / "killed"
+    killed.mkdir()
+    shutil.copytree(out / "full" / "triples", killed / "triples")
+    shutil.copy(out / "full" / "triples._manifest.json",
+                killed / "triples._manifest.json")
+    (killed / "mentions").mkdir()
+    (killed / "mentions" / "part-00000.parquet").write_bytes(b"garbage")
+
+    res = run_pipeline(spark, tdf, str(killed), alias_df(spark), resume=True,
+                       with_chunks=False)
+    by_stage = {m["stage"]: m for m in res.metrics}
+    assert by_stage["triples"]["skipped"] is True
+    assert by_stage["mentions"]["skipped"] is False
+    assert sorted(_triple_tuples(res.tables["triples"])) == \
+        sorted(_triple_tuples(full.tables["triples"]))
+    got_m = sorted(tuple(r) for r in res.tables["mentions"].collect())
+    want_m = sorted(tuple(r) for r in full.tables["mentions"].collect())
+    assert got_m == want_m
