@@ -1,38 +1,42 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query on /root/testdata/sf0.001;
+``queries()``/``oracle_sql()`` expose every implemented SURVEY.md §2 operator
+with its DuckDB-checkable SQL twin (implementations in
+master_project_spark/entry_queries.py).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from master_project_spark import entry_queries as EQ
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pattern-based triple extraction over the sf0.001 documents
+    table -> broadcast lookup of language metadata -> edge aggregation (the
+    SQL-expressible slice of the KG pipeline; the full pandas-UDF pipeline is
+    exercised by queries()['kg_pipeline_triples'])."""
+    sf_dir = "/root/testdata/sf0.001"
+    triples = EQ.pattern_triples(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "lang")
+    return (
+        triples.join(F.broadcast(docs), "doc_id")
+        .groupBy("subj", "pred", "obj", "lang")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .orderBy(F.col("weight").desc(), "subj", "pred", "obj", "lang"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(EQ.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (omitted for the pandas-UDF-only
+    entries kg_pipeline_triples / simhash_documents -> rows-only check)."""
+    return dict(EQ.ORACLE_SQL)

@@ -1,0 +1,141 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Headline = the KG pipeline over distributed-generated synthetic transcripts
+(~10^5 turns at sf0.1 — the small-scale stand-in for the 10^12-turn corpus)
+plus the heaviest operator queries from the driver contract.
+
+Scaling evidence (north rule: N vs 4N executors >= 0.8 efficiency; sandbox
+substitution local[8] vs local[32]): run `python bench.py --scaling`, which
+executes the pipeline leg in two subprocesses and reports
+efficiency = (turns/sec @ 32 cores) / (4 * turns/sec @ 8 cores).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+HEADLINE_QUERIES = [
+    "pricing_summary", "revenue_by_nation", "top_orders_per_cust",
+    "running_total_per_cust", "sessionize_users", "cosine_topk",
+    "minhash_band_groups", "bow_dedup_groups", "pattern_triples",
+    "token_stats",
+]
+
+SF_FROM_DIR = {"sf0.001": 0.001, "sf0.01": 0.01, "sf0.1": 0.1}
+
+
+def _force(df) -> int:
+    """Execute a query fully without driver-side collect cost."""
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def pipeline_leg(cores: int, sf_dir: str, n_convs: int) -> dict:
+    from master_project_spark.datagen import alias_df, transcripts_df_distributed
+    from master_project_spark.pipeline import run_pipeline
+    from master_project_spark.session import get_spark
+
+    spark = get_spark(cores, app_name=f"bench_pipeline_{cores}")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = tempfile.mkdtemp(prefix=f"bench_kg_{cores}_")
+    try:
+        transcripts = transcripts_df_distributed(spark, n_convs).cache()
+        n_turns = transcripts.count()  # materialize: measure pipeline, not gen
+        t0 = time.perf_counter()
+        res = run_pipeline(spark, transcripts, out, alias_df(spark),
+                           resume=False)
+        n_triples = res.tables["triples"].count()
+        wall = time.perf_counter() - t0
+        return {"cores": cores, "turns": n_turns, "triples": n_triples,
+                "wall_sec": round(wall, 3),
+                "turns_per_sec": round(n_turns / wall, 2),
+                "triples_per_sec": round(n_triples / wall, 2)}
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        spark.stop()
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true",
+                    help="run the pipeline leg at 8 and 32 cores in "
+                         "subprocesses and report scaling efficiency")
+    ap.add_argument("--pipeline-only", action="store_true")
+    ap.add_argument("--cores", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--sf-dir",
+                    default=os.environ.get("SPARK_GRAFT_SF_DIR",
+                                           "/root/testdata/sf0.1"))
+    ap.add_argument("--n-convs", type=int, default=None,
+                    help="pipeline conversations (default scaled to sf)")
+    args = ap.parse_args(argv)
+
+    sf = SF_FROM_DIR.get(os.path.basename(args.sf_dir.rstrip("/")), 0.1)
+    n_convs = args.n_convs or max(200, int(20000 * sf / 0.1))
+
+    if args.scaling:
+        legs = {}
+        for cores in (8, 32):
+            cmd = [sys.executable, __file__, "--pipeline-only",
+                   "--cores", str(cores), "--sf-dir", args.sf_dir,
+                   "--n-convs", str(n_convs)]
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 check=True).stdout.strip().splitlines()[-1]
+            legs[cores] = json.loads(out)["pipeline"]
+        eff = legs[32]["turns_per_sec"] / (4 * legs[8]["turns_per_sec"])
+        print(json.dumps({
+            "metric": "kg_pipeline_scaling_efficiency_8_to_32_cores",
+            "value": round(eff, 3), "unit": "ratio", "sf": sf,
+            "legs": legs,
+        }))
+        return 0
+
+    if args.pipeline_only:
+        leg = pipeline_leg(args.cores, args.sf_dir, n_convs)
+        print(json.dumps({"pipeline": leg}))
+        return 0
+
+    # ---- standard driver-run bench: pipeline + headline operator queries
+    from master_project_spark.entry_queries import QUERIES
+    from master_project_spark.session import get_spark
+
+    queries: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    leg = pipeline_leg(args.cores, args.sf_dir, n_convs)
+    queries["kg_pipeline"] = round(time.perf_counter() - t0, 3)
+
+    spark = get_spark(args.cores, app_name="bench_queries")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in HEADLINE_QUERIES:
+        t0 = time.perf_counter()
+        _force(QUERIES[name](spark, args.sf_dir))
+        queries[name] = round(time.perf_counter() - t0, 3)
+    spark.stop()
+
+    total = round(sum(queries.values()), 3)
+    print(json.dumps({
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "pipeline": leg,
+        "triples_per_sec": leg["triples_per_sec"],
+        "turns_per_sec": leg["turns_per_sec"],
+        "cores": args.cores,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

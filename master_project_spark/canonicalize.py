@@ -96,9 +96,11 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     for _ in range(max_iter):
         msgs = (sym.join(labels, sym.ka == labels.skey)
                 .select(F.col("kb").alias("skey"), "label"))
+        # lazy checkpoint: the changed-count below is the single action that
+        # both materializes the truncated lineage and tests convergence
         new_labels = (labels.select("skey", "label").union(msgs)
                       .groupBy("skey").agg(F.min("label").alias("label"))
-                      .localCheckpoint(eager=True))
+                      .localCheckpoint(eager=False))
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "skey")
                    .filter(F.col("n.label") != F.col("o.label"))

@@ -377,6 +377,16 @@ def _is_et_al_author(surface: str, sentence: str) -> bool:
 SELF_SUBJECT = "self"
 
 
+def extract_turn(text: str) -> tuple[list[dict], list[dict]]:
+    """Single-pass per-turn extraction of BOTH triples and mentions (one
+    normalization + one pattern scan — the hot path of the pipeline).
+    Returns (triples, mentions)."""
+    sentences = normalize_and_split(text)
+    triples = _triples_from_sentences(sentences)
+    mentions = _mentions_from_sentences(sentences)
+    return triples, mentions
+
+
 def extract_triples(text: str) -> list[dict]:
     """Per-turn deterministic (subj, pred, obj, confidence, mtype) extraction.
 
@@ -384,8 +394,12 @@ def extract_triples(text: str) -> list[dict]:
     match -> citation strip (:333-338) -> post-filter (:340-344) -> dedupe by
     (subj, pred, obj) keeping max confidence (set semantics, models.py:40).
     """
+    return _triples_from_sentences(normalize_and_split(text))
+
+
+def _triples_from_sentences(sentences: list[str]) -> list[dict]:
     out: dict[tuple[str, str, str], dict] = {}
-    for sent_idx, sentence in enumerate(normalize_and_split(text)):
+    for sent_idx, sentence in enumerate(sentences):
         sent_out: dict[tuple[str, str, str], dict] = {}
         for pat in TRIPLE_PATTERNS:
             for m in pat.regex.finditer(sentence):
@@ -429,7 +443,10 @@ def extract_mentions(text: str) -> list[dict]:
     """Mention detection: every post-filter-surviving entity surface from the
     triple patterns, with spans into the normalized turn text
     (= " ".join(normalized sentences))."""
-    sentences = normalize_and_split(text)
+    return _mentions_from_sentences(normalize_and_split(text))
+
+
+def _mentions_from_sentences(sentences: list[str]) -> list[dict]:
     norm_text = " ".join(sentences)
     mentions: dict[tuple[str, str], dict] = {}
     offset = 0

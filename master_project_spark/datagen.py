@@ -75,12 +75,47 @@ _DISTRACTORS = [
 ]
 
 
-def _zipf_sizes(rng: random.Random, n_convs: int, max_turns: int) -> list[int]:
-    sizes = []
-    for rank in range(1, n_convs + 1):
-        base = max(2, int(max_turns / rank ** 0.7))
-        sizes.append(min(max_turns, max(2, base + rng.randint(-1, 1))))
-    return sizes
+def _conv_rows(seed: int, ci: int, max_turns: int) -> list[dict]:
+    """Rows for one conversation — seeded per (seed, ci) only, so the
+    driver-side and the distributed generator emit IDENTICAL rows regardless
+    of partitioning."""
+    rng = random.Random(seed * 1_000_003 + ci)
+    # Zipf-ish size by rank (skew/salting exercise, FIXTURES.md §1)
+    n_turns = min(max_turns,
+                  max(2, max(2, int(max_turns / (ci + 1) ** 0.7))
+                      + rng.randint(-1, 1)))
+    conv_id = f"conv{ci:08d}"
+    conv_offset = timedelta(hours=ci)
+    roles = ["user", "assistant", "tool"]
+    turn_rows = []
+    for ti in range(n_turns):
+        role = roles[ti % 3]
+        parts = []
+        # 1-3 sentences per turn; mix of signal and distractor
+        for _ in range(rng.randint(1, 3)):
+            r = rng.random()
+            if r < 0.45:
+                tpl = rng.choice(_TEMPLATES)
+                parts.append(tpl.format(
+                    m=rng.choice(MODELS),
+                    d1=rng.choice(DATASETS), d2=rng.choice(DATASETS),
+                    b1=rng.choice(BASELINES), b2=rng.choice(BASELINES)))
+            elif r < 0.52:
+                long, short = rng.choice(ALIAS_PAIRS)
+                parts.append(_ALIAS_TEMPLATE.format(
+                    long=long, short=short, m=rng.choice(MODELS)))
+            else:
+                parts.append(rng.choice(_DISTRACTORS))
+        turn_rows.append({
+            "conv_id": conv_id,
+            "turn_idx": ti,
+            "role": role,
+            "text": " ".join(parts),
+            "tool": rng.choice(TOOLS) if role == "tool" else None,
+            "ts": _BASE_TS + conv_offset + timedelta(seconds=30 * ti),
+        })
+    rng.shuffle(turn_rows)  # force the pipeline to re-order
+    return turn_rows
 
 
 def gen_transcripts(n_convs: int = 100, max_turns: int = 40,
@@ -88,43 +123,34 @@ def gen_transcripts(n_convs: int = 100, max_turns: int = 40,
     """Deterministic transcript rows; emitted SHUFFLED within each conv (the
     pipeline must restore order via Window.partitionBy(conv_id)
     .orderBy(turn_idx) — FIXTURES.md §1)."""
-    rng = random.Random(seed)
     rows: list[dict] = []
-    sizes = _zipf_sizes(rng, n_convs, max_turns)
-    roles = ["user", "assistant", "tool"]
-    for ci, n_turns in enumerate(sizes):
-        conv_id = f"conv{ci:08d}"
-        conv_offset = timedelta(hours=ci)
-        turn_rows = []
-        for ti in range(n_turns):
-            role = roles[ti % 3]
-            parts = []
-            # 1-3 sentences per turn; mix of signal and distractor
-            for _ in range(rng.randint(1, 3)):
-                r = rng.random()
-                if r < 0.45:
-                    tpl = rng.choice(_TEMPLATES)
-                    parts.append(tpl.format(
-                        m=rng.choice(MODELS),
-                        d1=rng.choice(DATASETS), d2=rng.choice(DATASETS),
-                        b1=rng.choice(BASELINES), b2=rng.choice(BASELINES)))
-                elif r < 0.52:
-                    long, short = rng.choice(ALIAS_PAIRS)
-                    parts.append(_ALIAS_TEMPLATE.format(
-                        long=long, short=short, m=rng.choice(MODELS)))
-                else:
-                    parts.append(rng.choice(_DISTRACTORS))
-            turn_rows.append({
-                "conv_id": conv_id,
-                "turn_idx": ti,
-                "role": role,
-                "text": " ".join(parts),
-                "tool": rng.choice(TOOLS) if role == "tool" else None,
-                "ts": _BASE_TS + conv_offset + timedelta(seconds=30 * ti),
-            })
-        rng.shuffle(turn_rows)  # force the pipeline to re-order
-        rows.extend(turn_rows)
+    for ci in range(n_convs):
+        rows.extend(_conv_rows(seed, ci, max_turns))
     return rows
+
+
+def transcripts_df_distributed(spark, n_convs: int, max_turns: int = 40,
+                               seed: int = 42, partitions: int | None = None):
+    """Scale-path generator: spark.range over conv indices -> mapInPandas,
+    so a 10^6-conv corpus is synthesized in parallel on executors (the
+    sandbox stand-in for reading the 10^12-turn Iceberg table). Identical
+    rows to gen_transcripts for the same (n_convs, max_turns, seed)."""
+    import pandas as pd
+
+    parts = partitions or spark.sparkContext.defaultParallelism * 2
+    schema = transcripts_spark_schema()
+    cols = [f.name for f in schema.fields]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for ci in pdf["id"]:
+                rows.extend(_conv_rows(seed, int(ci), max_turns))
+            out = pd.DataFrame(rows, columns=cols)
+            out["ts"] = pd.to_datetime(out["ts"], utc=True).dt.tz_localize(None)
+            yield out
+
+    return spark.range(n_convs).repartition(parts).mapInPandas(gen, schema)
 
 
 def gen_alias_dict(seed: int = 42) -> list[dict]:

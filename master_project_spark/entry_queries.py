@@ -1,0 +1,699 @@
+"""Driver-contract query implementations (SURVEY.md §2 operator inventory).
+
+Each entry in ``QUERIES`` is (spark, sf_dir) -> DataFrame; ``ORACLE_SQL``
+holds the DuckDB-equivalent ANSI SQL over the pre-registered views
+(region nation customer supplier part orders lineitem events documents
+embeddings). Conventions that make the driver's order-insensitive value-hash
+compare deterministic across engines:
+
+- every computed column is aliased identically on both sides;
+- doubles are rounded (sums of 2-dec currency -> 2, ratios/avgs -> 4..6);
+- timestamps are emitted as formatted strings (UTC session tz);
+- arrays are emitted as joined strings (sorted first);
+- tokenization uses regexp_extract_all (identical regex semantics in Java
+  and RE2), never split() (trailing-empty divergence).
+
+SURVEY §2 operator ids are cited per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from . import core
+
+# --------------------------------------------------------------- helpers
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+TOKEN_RE = "[A-Za-z0-9]+"
+STOPWORDS_RE = r"\b(the|a|of|and|to|in|is|it|for|on)\b"
+
+QUERIES: dict = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+    return deco
+
+
+# =========================================================================
+# Relational core (TPC-H star) — SURVEY §2.3/§2.4/§2.5/§2.6/§2.7
+# =========================================================================
+
+@q("pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4)                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                   AS avg_price,
+       count(*)                                         AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""")
+def pricing_summary(spark, sf_dir):
+    """A3/A1 hash aggregation (TPC-H Q1 shape). Partial aggregation is
+    map-side (HashAggregate before the exchange)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+             F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+             F.count(F.lit(1)).alias("count_order")))
+
+
+@q("top_orders_per_cust", """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+""")
+def top_orders_per_cust(spark, sf_dir):
+    """W3/O1 ranking window top-k per group (deterministic tiebreak on
+    o_orderkey)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey",
+                F.round("o_totalprice", 2).alias("total"), "rn"))
+
+
+@q("revenue_by_nation", """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(DISTINCT o.o_orderkey)                      AS n_orders
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n_name
+""")
+def revenue_by_nation(spark, sf_dir):
+    """J5 multi-join + A3. nation is broadcast (tiny dim)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("revenue"),
+             F.countDistinct("o_orderkey").alias("n_orders")))
+
+
+@q("semi_join_customers", """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+""")
+def semi_join_customers(spark, sf_dir):
+    """J2 left-semi join (resolve_hit_documents analog,
+    ent_extraction.py:36-48)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi") \
+        .select("c_custkey", "c_name")
+
+
+@q("anti_join_customers", """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def anti_join_customers(spark, sf_dir):
+    """J3/X4 left-anti join (uploads-vs-loaded difference, main.py:55-58)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti") \
+        .select("c_custkey", "c_name")
+
+
+@q("nation_region_lookup", """
+SELECT n_nationkey, n_name, r_name
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+""")
+def nation_region_lookup(spark, sf_dir):
+    """J4 broadcast key-lookup join (utils.py:66-68 analog)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey) \
+        .select("n_nationkey", "n_name", "r_name")
+
+
+@q("segment_order_stats", """
+SELECT c_mktsegment,
+       count(*)                     AS n_orders,
+       round(sum(o_totalprice), 2)  AS total,
+       round(avg(o_totalprice), 4)  AS avg_total
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c_mktsegment
+""")
+def segment_order_stats(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"),
+             F.round(F.avg("o_totalprice"), 4).alias("avg_total")))
+
+
+@q("distinct_priorities_csv", """
+SELECT o_orderstatus,
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities
+FROM orders GROUP BY o_orderstatus
+""")
+def distinct_priorities_csv(spark, sf_dir):
+    """A3 collect_set -> deterministic CSV (sorted)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.concat_ws(",", F.sort_array(F.collect_set("o_orderpriority")))
+             .alias("priorities")))
+
+
+@q("set_union_segments", """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+""")
+def set_union_segments(spark, sf_dir):
+    """X1 union + distinct (ent_extraction.py:358 analog)."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    return a.union(b).distinct()
+
+
+@q("set_except_customers", """
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+""")
+def set_except_customers(spark, sf_dir):
+    """X2 except — the fixed-point convergence probe shape
+    (ent_extraction.py:360-361)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    f = _t(spark, sf_dir, "orders").filter("o_orderstatus = 'F'") \
+        .select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(f.distinct()).distinct()
+
+
+@q("dedup_flag_status", """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+""")
+def dedup_flag_status(spark, sf_dir):
+    """X3 dropDuplicates (main.py:40 analog)."""
+    return _t(spark, sf_dir, "lineitem") \
+        .dropDuplicates(["l_returnflag", "l_linestatus"]) \
+        .select("l_returnflag", "l_linestatus")
+
+
+@q("running_total_per_cust", """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+""")
+def running_total_per_cust(spark, sf_dir):
+    """Cumulative window with explicit ROWS frame (order ties broken by
+    o_orderkey so both engines agree)."""
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+                F.round(F.sum("o_totalprice").over(w), 2).alias("running_total")))
+
+
+# =========================================================================
+# Events: time windows, sessionization, lag, JSON — SURVEY §2.10/§2.8
+# =========================================================================
+
+@q("hourly_event_stats", """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""")
+def hourly_event_stats(spark, sf_dir):
+    """Tumbling time window (batch form of window(ts, '1 hour'))."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_format(F.date_trunc("hour", "ts"),
+                               "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+                 "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+@q("user_event_gaps", """
+SELECT user_id, count(*) AS n_events,
+       round(avg(gap_us) / 1000000, 3) AS avg_gap_s
+FROM (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events)
+WHERE gap_us IS NOT NULL GROUP BY user_id
+""")
+def user_event_gaps(spark, sf_dir):
+    """lag window over event time (exact integer microseconds)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("gap_us", F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w))
+        .filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.avg("gap_us") / 1000000, 3).alias("avg_gap_s")))
+
+
+@q("sessionize_users", """
+SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions FROM (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) > 300000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events) GROUP BY user_id
+""")
+def sessionize_users(spark, sf_dir):
+    """Sessionization with a 5-minute gap rule — the batch equivalent of
+    session_window(ts, '5 minutes') (SURVEY §2.10); the streaming variant
+    lives in streaming/stream_pipeline.py."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_us = F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("is_new",
+                    F.when(lag_us.isNull()
+                           | ((F.unix_micros(F.col("ts").cast("timestamp")) - lag_us) > 300_000_000),
+                           F.lit(1)).otherwise(F.lit(0)))
+        .groupBy("user_id")
+        .agg(F.sum("is_new").alias("n_sessions")))
+
+
+@q("json_event_buckets", """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+       count(*) AS n, round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1
+""")
+def json_event_buckets(spark, sf_dir):
+    """F-json: get_json_object over the events.props JSON column."""
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("k_bucket",
+                    (F.get_json_object("props", "$.k").cast("int") % 10))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("value"), 4).alias("avg_value")))
+
+
+# =========================================================================
+# Documents: corpus filter, text analysis, dedup — SURVEY §2.2/§2.8 + the
+# training-data-pipeline operators (language-ID, quality, fingerprints)
+# =========================================================================
+
+_CORPUS_PATTERN = core.keyword_alternation(core.DATASET_KEYWORDS)
+
+
+@q("corpus_keyword_filter", f"""
+SELECT doc_id FROM documents
+WHERE regexp_matches(text, '{_CORPUS_PATTERN}')
+""")
+def corpus_keyword_filter(spark, sf_dir):
+    """P1/P2 — the reference's regex keyword corpus filter
+    (ent_extraction.py:26-33) as a single rlike alternation."""
+    return _t(spark, sf_dir, "documents") \
+        .filter(F.col("text").rlike(_CORPUS_PATTERN)) \
+        .select("doc_id")
+
+
+@q("token_stats", f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{TOKEN_RE}', 0))                AS n_tokens,
+       len(list_distinct(regexp_extract_all(text, '{TOKEN_RE}', 0))) AS n_distinct,
+       length(text)                                                  AS n_chars
+FROM documents
+""")
+def token_stats(spark, sf_dir):
+    """F20 token counting (pydash words analog, texts.py:14)."""
+    toks = F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0))
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id",
+                F.size(toks).alias("n_tokens"),
+                F.size(F.array_distinct(toks)).alias("n_distinct"),
+                F.length("text").alias("n_chars")))
+
+
+@q("doc_sha256", """
+SELECT doc_id, sha256(text) AS content_hash FROM documents
+""")
+def doc_sha256(spark, sf_dir):
+    """F1 content hashing (utils.py:30-35)."""
+    return _t(spark, sf_dir, "documents") \
+        .select("doc_id", F.sha2("text", 256).alias("content_hash"))
+
+
+@q("normalized_text_hash", r"""
+SELECT doc_id, md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_hash
+FROM documents
+""")
+def normalized_text_hash(spark, sf_dir):
+    """F2 whitespace collapse + trim (texts.py:37), hashed."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id",
+                F.md5(F.trim(F.regexp_replace("text", r"\s+", " ")))
+                .alias("norm_hash")))
+
+
+@q("langid_heuristic", f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{STOPWORDS_RE}', 0)) AS en_hits,
+       CASE WHEN len(regexp_extract_all(lower(text), '{STOPWORDS_RE}', 0))
+                 * 10 >= len(regexp_extract_all(text, '{TOKEN_RE}', 0))
+            THEN 'en' ELSE 'unk' END AS predicted_lang
+FROM documents
+""")
+def langid_heuristic(spark, sf_dir):
+    """Language-ID n-gram/stopword heuristic (training-data op)."""
+    hits = F.size(F.regexp_extract_all(
+        F.lower("text"), F.lit(STOPWORDS_RE), F.lit(0)))
+    toks = F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0)))
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", hits.alias("en_hits"),
+                F.when(hits * 10 >= toks, "en").otherwise("unk")
+                .alias("predicted_lang")))
+
+
+@q("quality_score", f"""
+SELECT doc_id,
+       round(CAST(len(regexp_extract_all(lower(text), '{STOPWORDS_RE}', 0)) AS DOUBLE)
+             / greatest(len(regexp_extract_all(text, '{TOKEN_RE}', 0)), 1), 4)
+         AS stopword_ratio,
+       round(CAST(length(text) AS DOUBLE)
+             / greatest(len(regexp_extract_all(text, '{TOKEN_RE}', 0)), 1), 4)
+         AS chars_per_token
+FROM documents
+""")
+def quality_score(spark, sf_dir):
+    """Quality scoring: stopword ratio + mean token length (training-data
+    op)."""
+    hits = F.size(F.regexp_extract_all(
+        F.lower("text"), F.lit(STOPWORDS_RE), F.lit(0)))
+    toks = F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0)))
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id",
+                F.round(hits.cast("double") / F.greatest(toks, F.lit(1)), 4)
+                .alias("stopword_ratio"),
+                F.round(F.length("text").cast("double")
+                        / F.greatest(toks, F.lit(1)), 4)
+                .alias("chars_per_token")))
+
+
+@q("bow_dedup_groups", f"""
+SELECT fp, count(*) AS n_docs, min(doc_id) AS min_doc_id FROM (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+             regexp_extract_all(text, '{TOKEN_RE}', 0))), ' ')) AS fp
+  FROM documents)
+GROUP BY fp HAVING count(*) > 1
+""")
+def bow_dedup_groups(spark, sf_dir):
+    """Exact near-dup: bag-of-words fingerprint groups (dedup op)."""
+    toks = F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0))
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id",
+                F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(toks))))
+                .alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1))
+
+
+@q("minhash_band_groups", f"""
+SELECT band, count(*) AS n_docs FROM (
+  SELECT doc_id, md5(
+      list_min(list_transform(toks, t -> md5('0:' || t))) ||
+      list_min(list_transform(toks, t -> md5('1:' || t))) ||
+      list_min(list_transform(toks, t -> md5('2:' || t))) ||
+      list_min(list_transform(toks, t -> md5('3:' || t)))) AS band
+  FROM (SELECT doc_id,
+               list_distinct(regexp_extract_all(text, '{TOKEN_RE}', 0)) AS toks
+        FROM documents)
+  WHERE len(toks) > 0)
+GROUP BY band HAVING count(*) > 1
+""")
+def minhash_band_groups(spark, sf_dir):
+    """MinHash-LSH dedup blocking, fully SQL-expressible variant: 4 md5
+    min-hashes over the distinct-token set, banded into one bucket id.
+    (The pipeline's 16-hash char-shingle variant is in canonicalize.py.)"""
+    toks = F.array_distinct(
+        F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0)))
+    sig = F.md5(F.concat(*[
+        F.expr(f"array_min(transform(toks, t -> md5(concat('{i}:', t))))")
+        for i in range(4)]))
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select("doc_id", sig.alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1))
+
+
+_PATTERN_PREDS = [
+    ("join", r"([a-z]+) join ([a-z]+)"),
+    ("group", r"([a-z]+) group ([a-z]+)"),
+    ("sort", r"([a-z]+) sort ([a-z]+)"),
+]
+
+
+def _pattern_union_sql() -> str:
+    parts = []
+    for pred, pat in _PATTERN_PREDS:
+        parts.append(f"""
+SELECT doc_id,
+       unnest(regexp_extract_all(text, '{pat}', 1)) AS subj,
+       '{pred}' AS pred,
+       unnest(regexp_extract_all(text, '{pat}', 2)) AS obj
+FROM documents""")
+    return (" UNION ALL ".join(parts))
+
+
+@q("pattern_triples", _pattern_union_sql())
+def pattern_triples(spark, sf_dir):
+    """Pattern-based (subj, pred, obj) extraction with Spark built-ins only
+    (regexp_extract_all + arrays_zip + explode) — the SQL-checkable analog
+    of the pipeline's pandas-UDF extractor (ent_extraction.py:295-344)."""
+    docs = _t(spark, sf_dir, "documents")
+    outs = []
+    for pred, pat in _PATTERN_PREDS:
+        z = docs.select(
+            "doc_id",
+            F.explode(F.arrays_zip(
+                F.expr(f"regexp_extract_all(text, '{pat}', 1)").alias("subj"),
+                F.expr(f"regexp_extract_all(text, '{pat}', 2)").alias("obj"),
+            )).alias("z"))
+        outs.append(z.select("doc_id", F.col("z.subj").alias("subj"),
+                             F.lit(pred).alias("pred"),
+                             F.col("z.obj").alias("obj")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+@q("pattern_edge_weights", f"""
+SELECT subj, pred, obj, count(*) AS weight FROM ({_pattern_union_sql()})
+GROUP BY subj, pred, obj HAVING count(*) >= 3
+""")
+def pattern_edge_weights(spark, sf_dir):
+    """Graph edge aggregation over the extracted pattern triples."""
+    return (
+        pattern_triples(spark, sf_dir)
+        .groupBy("subj", "pred", "obj")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .filter(F.col("weight") >= 3))
+
+
+@q("multimodal_binary_meta", """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5 FROM documents
+""")
+def multimodal_binary_meta(spark, sf_dir):
+    """Multimodal plumbing: treat content as opaque bytes with typed
+    metadata (byte length + content hash); the decode path is the stubbed
+    pandas UDF in operators/multimodal.py."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.octet_length("text").alias("n_bytes"),
+                F.md5("text").alias("content_md5")))
+
+
+# =========================================================================
+# Embeddings: similarity search — SURVEY §2.3 J1/W3
+# =========================================================================
+
+_DOT = ("aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * "
+        "CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
+
+
+@q("cosine_topk", """
+SELECT query_id, corpus_id, score, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         round(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])))), 5)
+           AS score,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(c.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])))), 5)
+             DESC, c.vec_id) AS rank
+  FROM (SELECT * FROM embeddings WHERE vec_id < 8) q
+  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id >= 8) c
+) WHERE rank <= 10
+""")
+def cosine_topk(spark, sf_dir):
+    """J1 — the workhorse similarity top-k join (semantic_search analog,
+    ent_extraction.py:308): broadcast the tiny query side, JVM-side dot
+    product via zip_with/aggregate (no Python in the hot path), then W3
+    ranking window. Scores rounded to 5 so both engines rank identically."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    corpus = e.filter(F.col("vec_id") >= 8).select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("ce"))
+    qnorm = "sqrt(aggregate(qe, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    cnorm = "sqrt(aggregate(ce, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .withColumn("score", F.round(
+            F.expr(_DOT) / (F.expr(qnorm) * F.expr(cnorm)), 5)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("corpus_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("query_id", "corpus_id", "score", "rank"))
+
+
+@q("label_pair_cosine", """
+SELECT la AS label_a, lb AS label_b, round(avg(cos), 4) AS avg_cosine,
+       count(*) AS n_pairs
+FROM (
+  SELECT a.label AS la, b.label AS lb,
+         list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(a.embedding AS DOUBLE[])))
+          * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])))) AS cos
+  FROM (SELECT * FROM embeddings WHERE vec_id < 80) a
+  JOIN (SELECT * FROM embeddings WHERE vec_id < 80) b
+    ON a.vec_id < b.vec_id AND a.label <= b.label)
+GROUP BY la, lb
+""")
+def label_pair_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup statistics grouped by label pair."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 80)
+    a = e.select(F.col("vec_id").alias("va"), F.col("label").alias("la"),
+                 F.col("embedding").alias("qe"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("label").alias("lb"),
+                 F.col("embedding").alias("ce"))
+    qnorm = "sqrt(aggregate(qe, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    cnorm = "sqrt(aggregate(ce, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    return (
+        a.join(b, (F.col("va") < F.col("vb")) & (F.col("la") <= F.col("lb")))
+        .withColumn("cos", F.expr(_DOT) / (F.expr(qnorm) * F.expr(cnorm)))
+        .groupBy(F.col("la").alias("label_a"), F.col("lb").alias("label_b"))
+        .agg(F.round(F.avg("cos"), 4).alias("avg_cosine"),
+             F.count(F.lit(1)).alias("n_pairs")))
+
+
+@q("embedding_norms", """
+SELECT vec_id,
+       round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))), 5) AS l2_norm
+FROM embeddings
+""")
+def embedding_norms(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.round(F.sqrt(F.expr(
+            "aggregate(embedding, CAST(0.0 AS DOUBLE), "
+            "(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")), 5)
+            .alias("l2_norm")))
+
+
+# =========================================================================
+# Rows-only entries (non-SQL-expressible: pandas-UDF pipeline stages)
+# =========================================================================
+
+def kg_pipeline_triples(spark, sf_dir):
+    """The flagship KG pipeline's extraction stage over deterministic
+    synthetic transcripts (the driver's DuckDB views don't include
+    transcripts, so this is a rows-only entry; exactness vs the oracle is
+    pinned by tests/test_pipeline.py)."""
+    from .datagen import transcripts_df
+    from .udfs import TRIPLES_SCHEMA, extract_triples_batches
+    t = transcripts_df(spark, n_convs=120, max_turns=30, seed=42)
+    return (t.select("conv_id", "turn_idx", "ts", "text")
+            .repartition(16, "conv_id", "turn_idx")
+            .mapInPandas(extract_triples_batches, TRIPLES_SCHEMA))
+
+
+QUERIES["kg_pipeline_triples"] = kg_pipeline_triples
+
+
+def simhash_documents(spark, sf_dir):
+    """SimHash fingerprints (dedup op; bit-majority vote isn't reasonably
+    SQL-expressible — rows-only check)."""
+    from .udfs import simhash_udf
+    return _t(spark, sf_dir, "documents") \
+        .select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
+
+
+QUERIES["simhash_documents"] = simhash_documents

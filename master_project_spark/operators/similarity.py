@@ -1,0 +1,98 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k — broadcast the (small) query side,
+  JVM-side dot products via zip_with/aggregate (no Python in the hot path),
+  ranking window for top-k. This is J1, the reference's semantic_search
+  (ent_extraction.py:308), Spark-first.
+- lsh_ann_topk: approximate variant for large corpora — deterministic
+  sign-random-projection buckets (hyperplanes derived from md5, no RNG
+  state), candidates restricted to matching buckets, exact rescoring inside.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+_DOT = ("aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * "
+        "CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
+_NORM = ("sqrt(aggregate({c}, CAST(0.0 AS DOUBLE), "
+         "(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+
+
+def _scored(queries: DataFrame, corpus: DataFrame,
+            qid: str, cid: str, qvec: str, cvec: str) -> DataFrame:
+    q = queries.select(F.col(qid).alias("query_id"),
+                       F.col(qvec).alias("qe"))
+    c = corpus.select(F.col(cid).alias("corpus_id"),
+                      F.col(cvec).alias("ce"))
+    return (c.crossJoin(F.broadcast(q))
+            .withColumn("score", F.round(
+                F.expr(_DOT) / (F.expr(_NORM.format(c="qe"))
+                                * F.expr(_NORM.format(c="ce"))), 6)))
+
+
+def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 20,
+                     qid: str = "vec_id", cid: str = "vec_id",
+                     qvec: str = "embedding", cvec: str = "embedding") -> DataFrame:
+    """Exact cosine top-k per query (J1 + W3)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("corpus_id"))
+    return (_scored(queries, corpus, qid, cid, qvec, cvec)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "corpus_id", "score", "rank"))
+
+
+def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: unit-free ±1 entries from
+    md5(plane, coord) — stable across processes and partitions."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"plane:{p}:{d}".encode()).digest()[0]
+            row.append(1.0 if h % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_ann_topk(queries: DataFrame, corpus: DataFrame, k: int = 20,
+                 n_planes: int = 8, dim: int = 64,
+                 qid: str = "vec_id", cid: str = "vec_id",
+                 qvec: str = "embedding", cvec: str = "embedding") -> DataFrame:
+    """ANN: sign-random-projection bucket join, exact cosine rescoring inside
+    the bucket. At 100 TB the bucket join replaces the full cross join; the
+    bucket id is computed map-side (no extra shuffle beyond the join)."""
+    spark = queries.sparkSession
+    planes = _hyperplanes(dim, n_planes)
+    planes_lit = F.array(*[
+        F.array(*[F.lit(v) for v in row]) for row in planes])
+
+    def bucketed(df, idc, vecc, out_id):
+        return (df
+                .select(F.col(idc).alias(out_id), F.col(vecc).alias("v"),
+                        planes_lit.alias("planes"))
+                .withColumn("bucket", F.expr(
+                    "aggregate(sequence(0, size(planes) - 1), 0, (acc, p) -> "
+                    "acc * 2 + CAST(aggregate(zip_with(planes[p], v, "
+                    "(h, x) -> h * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), "
+                    "(a, t) -> a + t) >= 0 AS INT))"))
+                .drop("planes"))
+
+    qb = bucketed(queries, qid, qvec, "query_id") \
+        .withColumnRenamed("v", "qe")
+    cb = bucketed(corpus, cid, cvec, "corpus_id") \
+        .withColumnRenamed("v", "ce")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("corpus_id"))
+    return (cb.join(F.broadcast(qb), "bucket")
+            .withColumn("score", F.round(
+                F.expr(_DOT) / (F.expr(_NORM.format(c="qe"))
+                                * F.expr(_NORM.format(c="ce"))), 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "corpus_id", "score", "rank"))

@@ -36,9 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from . import core
 from .canonicalize import build_entity_map
 from .tableio import TableIO
-from .udfs import (CHUNKS_SCHEMA, MENTIONS_SCHEMA, TRIPLES_SCHEMA,
-                   chunk_conversation, extract_mentions_batches,
-                   extract_triples_batches)
+from .udfs import EXTRACTED_SCHEMA, chunk_text_udf, extract_turn_batches
 
 
 @dataclass
@@ -108,27 +106,48 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
     st = _StageRunner(spark, io, fp, resume, run_id)
     n_part = extract_partitions or spark.sparkContext.defaultParallelism * 2
 
-    # ---- extract: per-turn, stateless => hash-balanced on the full key
+    # ---- extract: per-turn, stateless => hash-balanced on the full key.
+    # ONE pandas pass emits both triple and mention rows (kind column);
+    # splitting into tables is JVM-side filter+project.
     turns = transcripts.select("conv_id", "turn_idx", "ts", "text") \
         .repartition(n_part, "conv_id", "turn_idx")
 
+    extracted = st.run(
+        "extracted",
+        lambda: turns.mapInPandas(extract_turn_batches, EXTRACTED_SCHEMA))
+
     triples = st.run(
         "triples",
-        lambda: turns.mapInPandas(extract_triples_batches, TRIPLES_SCHEMA))
+        lambda: extracted.filter(F.col("kind") == "T")
+        .select("conv_id", "turn_idx", "ts", "subj", "pred", "obj",
+                "confidence", "mtype"))
     mentions = st.run(
         "mentions",
-        lambda: turns.drop("ts").mapInPandas(
-            extract_mentions_batches, MENTIONS_SCHEMA))
+        lambda: extracted.filter(F.col("kind") == "M")
+        .select("conv_id", "turn_idx", "mention_id", "surface",
+                "span_start", "span_end", "mtype"))
 
     tables = {"triples": triples, "mentions": mentions}
 
-    # ---- chunks + corpus filter (conversation-grouped; the ONLY stage that
-    # must shuffle on conv_id — ragged order-dependent chunking, W1)
+    # ---- chunks + corpus filter. Ordering is enforced JVM-side:
+    # sort_array(collect_list(struct(turn_idx, text))) restores turn order
+    # per conversation (W2), then ONE vectorized pandas UDF chunks many
+    # conversations per Arrow batch (W1) — no per-group pandas overhead.
     if with_chunks:
-        chunks = st.run(
-            "chunks",
-            lambda: transcripts.select("conv_id", "turn_idx", "text")
-            .groupBy("conv_id").applyInPandas(chunk_conversation, CHUNKS_SCHEMA))
+        def _chunks():
+            conv_texts = (
+                transcripts.select("conv_id", "turn_idx", "text")
+                .groupBy("conv_id")
+                .agg(F.concat_ws(" ", F.expr(
+                    "transform(sort_array(collect_list(struct(turn_idx, text))), "
+                    "s -> s.text)")).alias("conv_text")))
+            return (
+                conv_texts
+                .select("conv_id",
+                        F.posexplode(chunk_text_udf(F.col("conv_text")))
+                        .alias("chunk_idx", "chunk_text")))
+
+        chunks = st.run("chunks", _chunks)
         # P1 corpus filter: cheap rlike BEFORE anything expensive downstream
         alternation = core.keyword_alternation(core.DATASET_KEYWORDS
                                                + core.BASELINE_KEYWORDS)

@@ -8,6 +8,7 @@ UTC session timezone (oracle comparisons), shuffle partitions sized to cores.
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
@@ -18,6 +19,15 @@ def get_spark(cores: int | None = None, app_name: str = "master_project_spark",
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
     master = f"local[{cores}]" if cores else "local[*]"
+
+    # Executor Python workers must be able to import this package for the
+    # pandas UDFs regardless of the driver's cwd (spark-submit --py-files
+    # equivalent for local mode).
+    pkg_parent = str(Path(__file__).resolve().parents[1])
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_parent}{os.pathsep}{existing}" if existing else pkg_parent)
     if shuffle_partitions is None:
         shuffle_partitions = max(32, 2 * (cores or 16))
     builder = (

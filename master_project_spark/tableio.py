@@ -55,18 +55,14 @@ class TableIO:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(str(path))
 
-        spark = df.sparkSession
-        from pyspark.sql import functions as F
-        back = spark.read.parquet(str(path))
-        per_file = (
-            back.groupBy(F.input_file_name().alias("file"))
-            .count()
-            .collect()
-        )
-        files = sorted(
-            ({"file": r["file"].rsplit("/", 1)[-1], "rows": r["count"]}
-             for r in per_file),
-            key=lambda d: d["file"])
+        # per-file (== per output partition) lineage from parquet footers —
+        # a metadata-only operation, no Spark job (on a cluster this is the
+        # same footer read the manifest writer would do)
+        import pyarrow.parquet as pq
+        files = []
+        for f in sorted(path.rglob("*.parquet")):
+            files.append({"file": str(f.relative_to(path)),
+                          "rows": pq.ParquetFile(f).metadata.num_rows})
         manifest = {
             "table": name,
             "snapshot_id": snapshot_id,
@@ -74,7 +70,7 @@ class TableIO:
             "n_files": len(files),
             "files": files,
             "committed_at": time.time(),
-            "schema": back.schema.jsonValue(),
+            "schema": df.schema.jsonValue(),
         }
         tmp = self._manifest_path(name).with_suffix(".tmp")
         tmp.write_text(json.dumps(manifest, indent=1))

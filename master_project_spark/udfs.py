@@ -50,6 +50,45 @@ CHUNKS_SCHEMA = T.StructType([
     T.StructField("chunk_text", T.StringType()),
 ])
 
+# Unified single-pass extraction schema: 'kind' discriminates triple vs
+# mention rows; downstream stages are cheap JVM-side filter+project.
+EXTRACTED_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("kind", T.StringType()),          # 'T' | 'M'
+    T.StructField("subj", T.StringType()),
+    T.StructField("pred", T.StringType()),
+    T.StructField("obj", T.StringType()),
+    T.StructField("confidence", T.DoubleType()),
+    T.StructField("mtype", T.StringType()),
+    T.StructField("mention_id", T.IntegerType()),
+    T.StructField("surface", T.StringType()),
+    T.StructField("span_start", T.IntegerType()),
+    T.StructField("span_end", T.IntegerType()),
+])
+
+
+def extract_turn_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas: ONE normalization + pattern scan per turn emitting both
+    triple ('T') and mention ('M') rows — halves the text-processing cost
+    versus separate stages. Stateless per turn."""
+    cols = [f.name for f in EXTRACTED_SCHEMA.fields]
+    for pdf in batches:
+        rows = []
+        for conv_id, turn_idx, ts, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["ts"], pdf["text"]):
+            triples, mentions = core.extract_turn(text or "")
+            for t in triples:
+                rows.append((conv_id, turn_idx, ts, "T", t["subj"], t["pred"],
+                             t["obj"], t["confidence"], t["mtype"],
+                             None, None, None, None))
+            for m in mentions:
+                rows.append((conv_id, turn_idx, ts, "M", None, None, None,
+                             None, m["mtype"], m["mention_id"], m["surface"],
+                             m["span_start"], m["span_end"]))
+        yield pd.DataFrame(rows, columns=cols)
+
 
 # ------------------------------------------------------- mapInPandas stages
 
@@ -93,12 +132,17 @@ def extract_mentions_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Dat
         yield pd.DataFrame(out)
 
 
-# -------------------------------------------------- applyInPandas (grouped)
+# -------------------------------------------------- grouped chunking (W1)
 
 def chunk_conversation(pdf: pd.DataFrame) -> pd.DataFrame:
     """applyInPandas grouped-map over conv_id: W1, the order-dependent
     ragged chunker (texts.py:7-26,124-128). Spark does NOT guarantee
-    intra-group row order, so we sort by turn_idx inside (SURVEY §2.5 W2)."""
+    intra-group row order, so we sort by turn_idx inside (SURVEY §2.5 W2).
+
+    NOTE: kept for reference/tests; the pipeline uses chunk_text_udf over a
+    JVM-side sort_array(collect_list(...)) aggregate instead — one Arrow
+    batch covers MANY conversations, avoiding the per-group pandas-frame
+    overhead that dominates applyInPandas on millions of small groups."""
     pdf = pdf.sort_values("turn_idx")
     conv_id = pdf["conv_id"].iloc[0]
     text = " ".join(t or "" for t in pdf["text"])
@@ -108,6 +152,15 @@ def chunk_conversation(pdf: pd.DataFrame) -> pd.DataFrame:
         "chunk_idx": list(range(len(chunks))),
         "chunk_text": chunks,
     })
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def chunk_text_udf(conv_texts: pd.Series) -> pd.Series:
+    """Vectorized conversation chunker: input is the already-ordered
+    concatenated conversation text (ordering enforced JVM-side via
+    sort_array(collect_list(struct(turn_idx, text))))."""
+    return conv_texts.map(
+        lambda t: core.chunker(t or "", max_tokens=200, overlap=2))
 
 
 # ----------------------------------------------------------- scalar pandas

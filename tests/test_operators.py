@@ -1,0 +1,194 @@
+"""Operator-library tests: dedup, similarity, textops, multimodal,
+streaming (SURVEY.md §2 + the training-data-pipeline operators)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from master_project_spark.operators import dedup, multimodal, similarity, textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog"),   # near dup
+        (3, "completely different text about spark pipelines and shuffles"),
+        (4, "Der schnelle braune Fuchs springt über den faulen Hund und das"),
+        (5, "le renard brun rapide saute par dessus le chien paresseux dans"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+# ------------------------------------------------------------------ dedup
+
+def test_exact_dedup(docs):
+    got = {r["fp"]: (r["keep_id"], r["n_dups"])
+           for r in dedup.exact_dedup(docs).collect()}
+    dups = [v for v in got.values() if v[1] > 1]
+    assert dups == [(0, 2)]
+
+
+def test_bow_dedup(docs):
+    got = [r for r in dedup.bow_dedup(docs).collect() if r["n_dups"] > 1]
+    assert len(got) == 1 and got[0]["keep_id"] == 0
+
+
+def test_minhash_lsh_pairs(docs):
+    pairs, dropped = dedup.minhash_lsh_pairs(docs, min_agree=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got          # exact dup must be a candidate
+    assert (2, 3) not in got      # unrelated text must not
+    assert dropped == 0
+
+
+def test_simhash_near_dups(docs):
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in dedup.simhash_near_dups(docs, max_hamming=10).collect()}
+    assert got[(0, 1)] == 0
+    assert (0, 2) in got          # one-word edit stays within hamming 10
+    assert (0, 3) not in got
+
+
+def test_ngram_jaccard_pairs(docs):
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert got[(0, 1)] == 1.0
+    # one-word edit on 9 tokens: 4 shared of 10 distinct trigrams = 0.4
+    assert got[(0, 2)] == 0.4
+    assert (0, 3) not in got
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import random
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        base = [0.0] * 8
+        base[i % 4] = 1.0
+        rows.append((i, [v + rng.uniform(-0.05, 0.05) for v in base]))
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+
+def test_embedding_cosine_pairs(vectors):
+    pairs = dedup.embedding_cosine_pairs(
+        vectors.filter("vec_id < 12"), threshold=0.95).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 4) in got          # same axis -> cosine ~1
+    assert (0, 1) not in got      # orthogonal axes
+
+
+# ------------------------------------------------------------- similarity
+
+def test_brute_force_topk(vectors):
+    queries = vectors.filter("vec_id < 2")
+    corpus = vectors.filter("vec_id >= 2")
+    got = similarity.brute_force_topk(queries, corpus, k=5)
+    rows = got.collect()
+    assert {r["query_id"] for r in rows} == {0, 1}
+    by_q = {q: sorted((r["rank"], r["corpus_id"], r["score"])
+                      for r in rows if r["query_id"] == q) for q in (0, 1)}
+    # top hit for query 0 (axis 0) must be an axis-0 vector (id % 4 == 0)
+    assert by_q[0][0][1] % 4 == 0
+    assert all(len(v) == 5 for v in by_q.values())
+
+
+def test_lsh_ann_topk_agrees_with_exact_on_top1(vectors):
+    queries = vectors.filter("vec_id < 2")
+    corpus = vectors.filter("vec_id >= 2")
+    exact = {(r["query_id"], r["rank"]): r["corpus_id"]
+             for r in similarity.brute_force_topk(
+                 queries, corpus, k=1).collect()}
+    ann = {(r["query_id"], r["rank"]): r["corpus_id"]
+           for r in similarity.lsh_ann_topk(
+               queries, corpus, k=1, n_planes=4, dim=8).collect()}
+    # ANN top-1 equals exact top-1 when the bucket captured it; with
+    # axis-aligned clusters and 4 planes it must for at least one query
+    assert any(ann.get(k) == v for k, v in exact.items())
+
+
+# ---------------------------------------------------------------- textops
+
+def test_predict_lang(spark):
+    rows = [(0, "the cat and the dog sat on the mat with the hat"),
+            (1, "der hund und die katze sind nicht auf der matte ein"),
+            (2, "le chien et la chatte sont dans un jardin pour les"),
+            (3, "xqz zzz qqq")]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {r["id"]: r["lang"] for r in df.select(
+        "id", textops.predict_lang(F.col("text")).alias("lang")).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "unk"}
+
+
+def test_quality_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(0, "The quick brown fox jumps over the lazy dog."),
+         (1, "?!?! ,,,, ....  !!"),
+         (2, "the   QUICK  brown fox jumps over the lazy dog.")],
+        "id int, text string")
+    out = textops.annotate(df).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[0]["quality"] > by_id[1]["quality"]
+    assert 0 < by_id[0]["quality"] <= 1.0
+    # fingerprint is whitespace/case robust
+    assert by_id[0]["fingerprint"] == by_id[2]["fingerprint"]
+
+
+def test_token_count_matches_python(spark):
+    import re
+    text = "Spark 4.1 runs fast-UDFs over 100TB"
+    expected = len(re.findall("[A-Za-z0-9]+", text))
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(textops.token_count(F.col("text")).alias("n")).collect()
+    assert got[0]["n"] == expected
+
+
+# ------------------------------------------------------------- multimodal
+
+def test_image_features_stub(spark):
+    rows = [("m1", "image", bytearray(b"fake-image-bytes-1"), "{}"),
+            ("m2", "image", bytearray(b"fake-image-bytes-2"), "{}"),
+            ("m3", "audio", bytearray(b"fake-audio"), "{}")]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.image_features(media).collect()
+    assert {r["media_id"] for r in feats} == {"m1", "m2"}  # audio filtered
+    r = [x for x in feats if x["media_id"] == "m1"][0]
+    assert r["n_bytes"] == 18
+    assert 64 <= r["width"] < 256 and 64 <= r["height"] < 256
+    # deterministic across runs
+    again = multimodal.image_features(media).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, again))
+
+
+def test_frame_sample_and_resize_plan(spark):
+    media = spark.createDataFrame(
+        [("v1", "video", bytearray(b"x"), '{"duration_s": 12}')],
+        multimodal.MEDIA_SCHEMA)
+    frames = multimodal.frame_sample_plan(media, every_n_seconds=5).collect()
+    assert [r["ts_offset_s"] for r in frames] == [0, 5, 10]
+    dims = spark.createDataFrame([("v1", 640, 360)],
+                                 "media_id string, width int, height int")
+    plan = multimodal.resize_plan(dims, max_side=256).collect()[0]
+    assert plan["out_width"] == 256 and plan["out_height"] == 144
+
+
+# -------------------------------------------------------------- streaming
+
+def test_streaming_extraction(spark, tmp_path):
+    from master_project_spark.datagen import transcripts_df
+    from master_project_spark.streaming.stream_pipeline import run_to_memory
+
+    inp = str(tmp_path / "stream_in")
+    transcripts_df(spark, 10, 8, seed=5).write.parquet(inp)
+    q = run_to_memory(spark, inp, query_name="t_stream")
+    try:
+        q.processAllAvailable()
+        got = spark.table("t_stream").collect()
+    finally:
+        q.stop()
+    assert got, "windowed triple counts must be non-empty"
+    assert sum(r["n_triples"] for r in got) > 0
+    assert all(r["window_end"] > r["window_start"] for r in got)

@@ -1,0 +1,89 @@
+"""Local replica of the driver's correctness gate: run each queries() entry
+on Spark and its oracle_sql() on DuckDB over the same parquet tables,
+compare row count + schema + order-insensitive values.
+
+Usage: python tools/check_contract.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import duckdb
+import pandas as pd
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        df[c] = df[c].map(lambda v: repr(v))
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def compare(name: str, sdf, ddf) -> list[str]:
+    problems = []
+    if sorted(sdf.columns) != sorted(ddf.columns):
+        problems.append(f"schema mismatch: spark={sorted(sdf.columns)} duckdb={sorted(ddf.columns)}")
+        return problems
+    if len(sdf) != len(ddf):
+        problems.append(f"row count: spark={len(sdf)} duckdb={len(ddf)}")
+    a, b = canon(sdf), canon(ddf)
+    if len(a) == len(b) and not a.equals(b):
+        neq = (a != b).any(axis=1)
+        idx = neq[neq].index[:3]
+        for i in idx:
+            problems.append(f"value diff row {i}: spark={a.loc[i].to_dict()} duckdb={b.loc[i].to_dict()}")
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry
+    from master_project_spark.entry_queries import TABLES
+    from master_project_spark.session import get_spark
+
+    spark = get_spark(4, app_name="contract_check", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    n_ok = n_bad = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            n_bad += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle)")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            n_bad += 1
+            continue
+        problems = compare(name, sdf, ddf)
+        if problems:
+            print(f"FAIL  {name}: " + " | ".join(problems))
+            n_bad += 1
+        else:
+            print(f"OK    {name}: {len(sdf)} rows")
+            n_ok += 1
+    print(f"\n{n_ok} ok, {n_bad} failing")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
