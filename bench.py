@@ -83,18 +83,27 @@ def main(argv=None) -> int:
     n_convs = args.n_convs or max(200, int(20000 * sf / 0.1))
 
     if args.scaling:
+        # N vs 4N executors, sandbox substitution. Each leg is CPU-PINNED to
+        # exactly its core budget (taskset) — at local[N] on a larger box the
+        # JVM's GC/shuffle/Arrow threads would otherwise borrow idle cores,
+        # which no real N-core executor has, understating the 4N leg.
+        n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
         legs = {}
-        for cores in (8, 32):
+        for cores in (n_small, 4 * n_small):
             cmd = [sys.executable, __file__, "--pipeline-only",
                    "--cores", str(cores), "--sf-dir", args.sf_dir,
                    "--n-convs", str(n_convs)]
+            if shutil.which("taskset"):
+                cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
             out = subprocess.run(cmd, capture_output=True, text=True,
                                  check=True).stdout.strip().splitlines()[-1]
             legs[cores] = json.loads(out)["pipeline"]
-        eff = legs[32]["turns_per_sec"] / (4 * legs[8]["turns_per_sec"])
+        big, small = legs[4 * n_small], legs[n_small]
+        eff = big["turns_per_sec"] / (4 * small["turns_per_sec"])
         print(json.dumps({
-            "metric": "kg_pipeline_scaling_efficiency_8_to_32_cores",
+            "metric": f"kg_pipeline_scaling_efficiency_{n_small}_to_{4 * n_small}_cores",
             "value": round(eff, 3), "unit": "ratio", "sf": sf,
+            "pinned": bool(shutil.which("taskset")),
             "legs": legs,
         }))
         return 0

@@ -116,7 +116,10 @@ def build_entity_map(surfaces: DataFrame, alias_dict: DataFrame,
     """surface -> entity_id. entity_id is 'ent_*' (dictionary canonical) when
     the cluster contains a linked surface, else 'surf_<min canonical_key>'.
     Deterministic under any partitioning/parallelism."""
-    vertices = surface_vertices(surfaces, alias_dict)
+    # materialize once: the distinct-surface shuffle feeds the LSH count,
+    # the CC seed, and the final map — without this it recomputes per action
+    vertices = surface_vertices(surfaces, alias_dict) \
+        .localCheckpoint(eager=True)
     pairs, n_dropped = lsh_candidate_pairs(
         vertices, max_bucket=max_bucket, min_agree=min_agree)
     labels = connected_components(

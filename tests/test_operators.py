@@ -192,3 +192,30 @@ def test_streaming_extraction(spark, tmp_path):
     assert got, "windowed triple counts must be non-empty"
     assert sum(r["n_triples"] for r in got) > 0
     assert all(r["window_end"] > r["window_start"] for r in got)
+
+
+# -------------------------------------------------------------- retrieval
+
+def test_semantic_search_and_resolve(spark):
+    from master_project_spark.operators import retrieval
+    corpus = spark.createDataFrame(
+        [("c1", 0, "datasets employed for analysis of results"),
+         ("c1", 1, "the weather is nice today outside"),
+         ("c2", 0, "data sources referenced in the appendix")],
+        "conv_id string, chunk_idx int, chunk_text string")
+    hits = retrieval.semantic_search(
+        corpus, ["Datasets employed for analysis"], top_k=2)
+    rows = hits.collect()
+    assert len(rows) == 2
+    # the lexically-overlapping chunk must rank first
+    top = [r for r in rows if r["rank"] == 1][0]
+    assert top["conv_id"] == "c1" and top["chunk_idx"] == 0
+    resolved = retrieval.resolve_hit_rows(corpus, hits)
+    assert resolved.count() == 2
+
+
+def test_query_embeddings_deterministic(spark):
+    from master_project_spark.operators import retrieval
+    a = retrieval.query_embeddings_df(spark, ["alpha beta"]).collect()
+    b = retrieval.query_embeddings_df(spark, ["alpha beta"]).collect()
+    assert a == b
