@@ -46,7 +46,9 @@ def pipeline_leg(cores: int, sf_dir: str, n_convs: int) -> dict:
 
     spark = get_spark(cores, app_name=f"bench_pipeline_{cores}")
     spark.sparkContext.setLogLevel("ERROR")
-    out = tempfile.mkdtemp(prefix=f"bench_kg_{cores}_")
+    # tmpfs output: measure the pipeline, not virtio-disk writeback
+    out_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    out = tempfile.mkdtemp(prefix=f"bench_kg_{cores}_", dir=out_base)
     try:
         transcripts = transcripts_df_distributed(spark, n_convs).cache()
         n_turns = transcripts.count()  # materialize: measure pipeline, not gen

@@ -32,9 +32,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-chunks", action="store_true")
     args = ap.parse_args(argv)
 
-    from .datagen import alias_df, transcripts_df
-    from .pipeline import run_pipeline
-    from .session import get_spark
+    # absolute imports: spark-submit executes this file as a top-level
+    # script (no parent package), with the package shipped via --py-files
+    from master_project_spark.datagen import alias_df, transcripts_df
+    from master_project_spark.pipeline import run_pipeline
+    from master_project_spark.session import get_spark
 
     spark = get_spark(args.cores, app_name="kg_pipeline")
     if args.transcripts:

@@ -31,12 +31,20 @@ def get_spark(cores: int | None = None, app_name: str = "master_project_spark",
     if shuffle_partitions is None:
         shuffle_partitions = max(32, 2 * (cores or 16))
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    # shuffle/spill on tmpfs: the sandbox root disk is virtio-backed and its
+    # writeback stalls small stages that follow write-heavy ones (a real
+    # executor has local NVMe); RAM is 128G, our shuffles are <<1G
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark_local"
+        os.makedirs(local_dir, exist_ok=True)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
         # local mode: driver == executor; the 1g default heap GC-thrashes
         # under 32 concurrent tasks (shuffle + arrow + parquet buffers)
         .config("spark.driver.memory", driver_mem)
+        .config("spark.local.dir", local_dir or "/tmp")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
