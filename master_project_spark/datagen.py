@@ -137,7 +137,7 @@ def transcripts_df_distributed(spark, n_convs: int, max_turns: int = 40,
     rows to gen_transcripts for the same (n_convs, max_turns, seed)."""
     import pandas as pd
 
-    parts = partitions or spark.sparkContext.defaultParallelism * 2
+    parts = partitions or spark.sparkContext.defaultParallelism * 4
     schema = transcripts_spark_schema()
     cols = [f.name for f in schema.fields]
 

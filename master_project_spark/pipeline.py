@@ -108,11 +108,16 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
     # extraction waves (measured: ~20% wall reduction vs cores*2 at 32 cores)
     n_part = extract_partitions or spark.sparkContext.defaultParallelism * 4
 
-    # ---- extract: per-turn, stateless => hash-balanced on the full key.
+    # ---- extract: per-turn, stateless => ANY row-balanced partitioning is
+    # correct, so do NOT shuffle the full corpus text unless the input
+    # partitioning is too coarse (parquet splits are row-balanced regardless
+    # of conv_id skew). When we must, hash on the FULL (conv_id, turn_idx)
+    # key — balanced even under Zipf conversations.
     # ONE pandas pass emits both triple and mention rows (kind column);
     # splitting into tables is JVM-side filter+project.
-    turns = transcripts.select("conv_id", "turn_idx", "ts", "text") \
-        .repartition(n_part, "conv_id", "turn_idx")
+    turns = transcripts.select("conv_id", "turn_idx", "ts", "text")
+    if turns.rdd.getNumPartitions() < max(2, n_part // 4):
+        turns = turns.repartition(n_part, "conv_id", "turn_idx")
 
     extracted = st.run(
         "extracted",
