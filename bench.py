@@ -82,7 +82,9 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     sf = SF_FROM_DIR.get(os.path.basename(args.sf_dir.rstrip("/")), 0.1)
-    n_convs = args.n_convs or max(200, int(20000 * sf / 0.1))
+    # ~233k turns at sf0.1: big enough that the pipeline leg measures
+    # throughput, not per-stage commit latency
+    n_convs = args.n_convs or max(200, int(100000 * sf / 0.1))
 
     if args.scaling:
         # N vs 4N executors, sandbox substitution. Each leg is CPU-PINNED to

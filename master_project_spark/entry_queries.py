@@ -610,6 +610,36 @@ def pattern_edge_weights(spark, sf_dir):
         .filter(F.col("weight") >= 3))
 
 
+@q("citation_strip", r"""
+SELECT doc_id, md5(
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '\( *(?:[a-zA-Z_& \.,*-]+\d{4};?)+ *\)', '', 'g'),
+    ' ?\[\d+( ?, ?\d+)*\]( ?,? ?\[\d+( ?, ?\d+)*\])*', '', 'g'),
+    '\(\d+\)( ?, ?\(\d+\))*', '', 'g')) AS stripped_hash
+FROM documents
+""")
+def citation_strip(spark, sf_dir):
+    """F5 — the reference's three citation strippers (texts.py:67-71) as
+    chained regexp_replace, order preserved."""
+    c = F.col("text")
+    for pat in core.GENERAL_STRIP:
+        c = F.regexp_replace(c, F.lit(pat), F.lit(""))
+    return _t(spark, sf_dir, "documents") \
+        .select("doc_id", F.md5(c).alias("stripped_hash"))
+
+
+@q("doc_display_projection", """
+SELECT doc_id, lang || ': ' || substr(text, 1, 40) AS display
+FROM documents
+""")
+def doc_display_projection(spark, sf_dir):
+    """P7 — display-string projection (ent_extraction.py:245-254 analog)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("lang"), F.lit(": "),
+                 F.substring("text", 1, 40)).alias("display"))
+
+
 @q("multimodal_binary_meta", """
 SELECT doc_id, octet_length(encode(text)) AS n_bytes,
        md5(text) AS content_md5 FROM documents
@@ -711,6 +741,42 @@ def label_pair_cosine(spark, sf_dir):
              F.count(F.lit(1)).alias("n_pairs")))
 
 
+@q("exact_dedup_documents", """
+SELECT fp, count(*) AS n_dups, min(doc_id) AS keep_id FROM (
+  SELECT doc_id, sha256(text) AS fp FROM documents)
+GROUP BY fp HAVING count(*) > 1
+""")
+def exact_dedup_documents(spark, sf_dir):
+    """Exact dedup groups on the content hash (dedup op; S1/X3 analog —
+    content-addressed dedupe, utils.py:30-35 + main.py:39-41)."""
+    from .operators.dedup import exact_dedup
+    return (exact_dedup(_t(spark, sf_dir, "documents"))
+            .filter(F.col("n_dups") > 1)
+            .select("fp", "n_dups", F.col("keep_id")))
+
+
+@q("embedding_neardup_pairs", """
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])))), 6)
+           AS cosine
+  FROM (SELECT * FROM embeddings WHERE vec_id < 150) a
+  JOIN (SELECT * FROM embeddings WHERE vec_id < 150) b ON a.vec_id < b.vec_id)
+WHERE cosine >= 0.3
+""")
+def embedding_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (dedup op, brute-force window)."""
+    from .operators.dedup import embedding_cosine_pairs
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    return embedding_cosine_pairs(e, threshold=0.3) \
+        .select("id_a", "id_b", F.col("cosine"))
+
+
 @q("embedding_norms", """
 SELECT vec_id,
        round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -792,3 +858,17 @@ def semantic_search_documents(spark, sf_dir):
 
 
 QUERIES["semantic_search_documents"] = semantic_search_documents
+
+
+def normalize_documents(spark, sf_dir):
+    """The reference's full normalization pipeline (texts.py:72-120) as a
+    vectorized pandas UDF over documents (quirk-faithful core; rows-only —
+    the 40-step regex chain is not reasonably SQL-expressible)."""
+    from .udfs import normalize_text_udf, split_sentences_udf
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(normalize_text_udf(F.col("text"))).alias("norm_hash"),
+        F.size(split_sentences_udf(F.col("text"))).alias("n_sentences"))
+
+
+QUERIES["normalize_documents"] = normalize_documents

@@ -29,7 +29,10 @@ def test_extract_never_crashes_and_is_deterministic(text):
 def test_normalize_invariants(text):
     sents = core.normalize_and_split(text)
     for s in sents:
-        assert len(s.split(" ")) >= 4               # texts.py:115
+        # texts.py:115 counts split(" ") tokens BEFORE the final trim
+        # (:119), so leading-space sentences can surface with 3 visible
+        # words — reference-faithful lower bound is 3, not 4
+        assert len(s.split(" ")) >= 3
         assert s == s.strip()
         assert "  " not in s                        # whitespace collapsed
 
