@@ -57,6 +57,8 @@ _DEBURR_MAP = {
 
 def deburr(text: str) -> str:
     """Strip diacritics (pydash ``deburr``, used at texts.py:73)."""
+    if text.isascii():  # identity on ASCII — the hot-path fast exit
+        return text
     text = "".join(_DEBURR_MAP.get(ch, ch) for ch in text)
     decomposed = unicodedata.normalize("NFKD", text)
     return "".join(ch for ch in decomposed if not unicodedata.combining(ch))
@@ -126,6 +128,49 @@ def _sub_ci(pattern: str, repl, text: str) -> str:
     return re.sub(pattern, repl, text, flags=re.IGNORECASE)
 
 
+def _ci(pat: str, repl) -> tuple[re.Pattern, object]:
+    return (re.compile(pat, re.IGNORECASE), repl)
+
+
+def _cs(pat: str, repl) -> tuple[re.Pattern, object]:
+    return (re.compile(pat), repl)
+
+
+# texts.py:84-113, precompiled once, EXACT order preserved (the chain is
+# order-sensitive — SURVEY §2.8 F7)
+_NORMALIZE_STEPS: list[tuple[re.Pattern, object]] = [
+    *[_ci(p, "") for p in GENERAL_STRIP],                       # texts.py:84
+    _ci(EMOTICONS, ""),                                         # texts.py:85
+    _ci(r",\. ([A-Z0-9])", r". \1"),                            # texts.py:86
+    _ci(r",\. ?([a-z0-9])", r", \1"),                           # texts.py:87
+    _ci(r"(\w+)@(\w+)\.(\w+)", r"\1@\2[dot]"),                  # texts.py:88
+    _ci(r"[\"'] *(.*)([\.\!\?]) *[\"']", r'"\1\"\2'),           # texts.py:89
+    _ci(r" *([\.,:])", r"\1"),                                  # texts.py:90
+    _ci(r"\.{3}", "[ellipsis]"),                                # texts.py:91
+    _ci(r"\.{2}", "."),                                         # texts.py:92
+    _ci(r"\.{4,}", ""),                                         # texts.py:93
+    _ci(r"(?:, ?){2,}", ""),                                    # texts.py:94
+    _ci(r"([^ \(\.,])\(", r"\1 ("),                             # texts.py:95
+    _ci(r"\)([^ \)\.,:])", r") \1"),                            # texts.py:96
+    _ci(r"\/{2,} ", ""),                                        # texts.py:97
+    _ci(r"(\d+)(?:\.(\d+))+", r"\1[dot]\2"),                    # texts.py:98
+    *[_cs(p, r) for p, r in ABBR_TO_SLUG_CS],                   # texts.py:99
+    *[_ci(p, r) for p, r in ABBR_TO_SLUG_CI],                   # texts.py:100
+    _ci(r"(?:\[dot] ){2,}", "[dot]"),                           # texts.py:101
+    _ci(r"arXiv:(\d+)\.(\w+) ?(?:\[(\w+)\.(\w+)\])?",
+        r"arXiv:\1[dot]\2 [\3[dot]\4]"),                        # texts.py:102-104
+    _ci(r"\(([^\)]*?)\.([^\)]*?)\)", r"(\1[dot]\2)"),           # texts.py:105
+    _ci(r"\[([^\]]*?)\.([^\]]*?)\]", r"[\1[dot]\2]"),           # texts.py:106
+    _ci(r"\{([^\}]*?)\.([^\}]*?)\}", r"{\1[dot]\2}"),           # texts.py:107
+    _ci(r"\"([^\"]*?)\.([^\"]*?)\"", r"\"\1[dot]\2\""),         # texts.py:108
+    _ci(r"\'([^\']*?)\.([^\']*?)\'", r"'\1[dot]\2'"),           # texts.py:109
+    _ci(r"\b\d+(\.\d+)*",
+        lambda m: m.group(0).replace(".", "[dot]")),            # texts.py:110
+]
+_POSTCLEAN_STEPS = [_ci(r" \)", ")"), _ci(r"\( ", "(")]         # texts.py:112-113
+_SLUG_RESTORE_STEPS = [_ci(p, r) for p, r in SLUG_TO_ABBR]      # texts.py:116-118
+
+
 def normalize_and_split(text: str) -> list[str]:
     """texts.py:72-120 ``sentence_splitter``: normalize then split into
     sentences, rejecting those with fewer than 4 space-separated words
@@ -139,47 +184,18 @@ def normalize_and_split(text: str) -> list[str]:
     for abbr in found:
         x = re.sub(re.escape(abbr), abbr.replace(".", "[dot]"), x)
 
-    for pat in GENERAL_STRIP:  # texts.py:84
-        x = _sub_ci(pat, "", x)
-    x = _sub_ci(EMOTICONS, "", x)  # texts.py:85
-    x = _sub_ci(r",\. ([A-Z0-9])", r". \1", x)  # texts.py:86
-    x = _sub_ci(r",\. ?([a-z0-9])", r", \1", x)  # texts.py:87
-    x = _sub_ci(r"(\w+)@(\w+)\.(\w+)", r"\1@\2[dot]", x)  # texts.py:88
-    x = _sub_ci(r"[\"'] *(.*)([\.\!\?]) *[\"']", r'"\1\"\2', x)  # texts.py:89
-    x = _sub_ci(r" *([\.,:])", r"\1", x)  # texts.py:90
-    x = _sub_ci(r"\.{3}", "[ellipsis]", x)  # texts.py:91
-    x = _sub_ci(r"\.{2}", ".", x)  # texts.py:92
-    x = _sub_ci(r"\.{4,}", "", x)  # texts.py:93
-    x = _sub_ci(r"(?:, ?){2,}", "", x)  # texts.py:94
-    x = _sub_ci(r"([^ \(\.,])\(", r"\1 (", x)  # texts.py:95
-    x = _sub_ci(r"\)([^ \)\.,:])", r") \1", x)  # texts.py:96
-    x = _sub_ci(r"\/{2,} ", "", x)  # texts.py:97
-    x = _sub_ci(r"(\d+)(?:\.(\d+))+", r"\1[dot]\2", x)  # texts.py:98
-    for pat, repl in ABBR_TO_SLUG_CS:  # texts.py:99
-        x = re.sub(pat, repl, x)
-    for pat, repl in ABBR_TO_SLUG_CI:  # texts.py:100
-        x = _sub_ci(pat, repl, x)
-    x = _sub_ci(r"(?:\[dot] ){2,}", "[dot]", x)  # texts.py:101
-    x = _sub_ci(  # texts.py:102-104
-        r"arXiv:(\d+)\.(\w+) ?(?:\[(\w+)\.(\w+)\])?",
-        r"arXiv:\1[dot]\2 [\3[dot]\4]", x)
-    x = _sub_ci(r"\(([^\)]*?)\.([^\)]*?)\)", r"(\1[dot]\2)", x)  # texts.py:105
-    x = _sub_ci(r"\[([^\]]*?)\.([^\]]*?)\]", r"[\1[dot]\2]", x)  # texts.py:106
-    x = _sub_ci(r"\{([^\}]*?)\.([^\}]*?)\}", r"{\1[dot]\2}", x)  # texts.py:107
-    x = _sub_ci(r"\"([^\"]*?)\.([^\"]*?)\"", r"\"\1[dot]\2\"", x)  # texts.py:108
-    x = _sub_ci(r"\'([^\']*?)\.([^\']*?)\'", r"'\1[dot]\2'", x)  # texts.py:109
-    x = _sub_ci(  # texts.py:110
-        r"\b\d+(\.\d+)*", lambda m: m.group(0).replace(".", "[dot]"), x)
+    for pat, repl in _NORMALIZE_STEPS:
+        x = pat.sub(repl, x)
     x = clean(x)  # texts.py:111
-    x = _sub_ci(r" \)", ")", x)  # texts.py:112
-    x = _sub_ci(r"\( ", "(", x)  # texts.py:113
+    for pat, repl in _POSTCLEAN_STEPS:
+        x = pat.sub(repl, x)
 
     sentences = _SENTENCE_RE.findall(x)  # texts.py:114
     sentences = [s for s in sentences if len(s.split(" ")) >= 4]  # texts.py:115
     restored = []
-    for s in sentences:  # texts.py:116-118
-        for slug, abbr in SLUG_TO_ABBR:
-            s = _sub_ci(slug, abbr, s)
+    for s in sentences:
+        for pat, repl in _SLUG_RESTORE_STEPS:
+            s = pat.sub(repl, s)
         restored.append(s.strip())  # texts.py:119
     return restored
 
@@ -377,13 +393,22 @@ def _is_et_al_author(surface: str, sentence: str) -> bool:
 SELF_SUBJECT = "self"
 
 
+def _scan_sentences(sentences: list[str]) -> list[list[tuple]]:
+    """One finditer pass of every TRIPLE_PATTERN per sentence; both the
+    triple and the mention derivations consume this shared scan."""
+    return [[(pat, m) for pat in TRIPLE_PATTERNS
+             for m in pat.regex.finditer(sentence)]
+            for sentence in sentences]
+
+
 def extract_turn(text: str) -> tuple[list[dict], list[dict]]:
     """Single-pass per-turn extraction of BOTH triples and mentions (one
     normalization + one pattern scan — the hot path of the pipeline).
     Returns (triples, mentions)."""
     sentences = normalize_and_split(text)
-    triples = _triples_from_sentences(sentences)
-    mentions = _mentions_from_sentences(sentences)
+    scans = _scan_sentences(sentences)
+    triples = _triples_from_sentences(sentences, scans)
+    mentions = _mentions_from_sentences(sentences, scans)
     return triples, mentions
 
 
@@ -397,35 +422,36 @@ def extract_triples(text: str) -> list[dict]:
     return _triples_from_sentences(normalize_and_split(text))
 
 
-def _triples_from_sentences(sentences: list[str]) -> list[dict]:
+def _triples_from_sentences(sentences: list[str],
+                            scans: list[list[tuple]] | None = None) -> list[dict]:
+    scans = scans if scans is not None else _scan_sentences(sentences)
     out: dict[tuple[str, str, str], dict] = {}
     for sent_idx, sentence in enumerate(sentences):
         sent_out: dict[tuple[str, str, str], dict] = {}
-        for pat in TRIPLE_PATTERNS:
-            for m in pat.regex.finditer(sentence):
-                if pat.has_subj:
-                    subj = _clean_surface(m.group(1))
-                    obj = _clean_surface(m.group(2))
-                    if not entity_ok(subj) or subj in STOP_ENTS:
-                        subj = SELF_SUBJECT
-                else:
-                    obj = _clean_surface(m.group(1))
+        for pat, m in scans[sent_idx]:
+            if pat.has_subj:
+                subj = _clean_surface(m.group(1))
+                obj = _clean_surface(m.group(2))
+                if not entity_ok(subj) or subj in STOP_ENTS:
                     subj = SELF_SUBJECT
-                if not entity_ok(obj) or obj in STOP_ENTS:
-                    continue
-                if subj == obj:
-                    continue
-                if _is_et_al_author(obj, sentence) or (
-                        subj != SELF_SUBJECT and _is_et_al_author(subj, sentence)):
-                    continue
-                key = (subj, pat.pred, obj)
-                prev = sent_out.get(key)
-                if prev is None or prev["confidence"] < pat.confidence:
-                    sent_out[key] = {
-                        "subj": subj, "pred": pat.pred, "obj": obj,
-                        "confidence": pat.confidence, "mtype": pat.mtype,
-                        "sent_idx": sent_idx,
-                    }
+            else:
+                obj = _clean_surface(m.group(1))
+                subj = SELF_SUBJECT
+            if not entity_ok(obj) or obj in STOP_ENTS:
+                continue
+            if subj == obj:
+                continue
+            if _is_et_al_author(obj, sentence) or (
+                    subj != SELF_SUBJECT and _is_et_al_author(subj, sentence)):
+                continue
+            key = (subj, pat.pred, obj)
+            prev = sent_out.get(key)
+            if prev is None or prev["confidence"] < pat.confidence:
+                sent_out[key] = {
+                    "subj": subj, "pred": pat.pred, "obj": obj,
+                    "confidence": pat.confidence, "mtype": pat.mtype,
+                    "sent_idx": sent_idx,
+                }
         # a one-slot 'self' triple is subsumed by an explicit-subject triple
         # for the same (pred, obj) found in the same sentence
         explicit = {(p, o) for (s, p, o) in sent_out if s != SELF_SUBJECT}
@@ -446,31 +472,32 @@ def extract_mentions(text: str) -> list[dict]:
     return _mentions_from_sentences(normalize_and_split(text))
 
 
-def _mentions_from_sentences(sentences: list[str]) -> list[dict]:
+def _mentions_from_sentences(sentences: list[str],
+                             scans: list[list[tuple]] | None = None) -> list[dict]:
+    scans = scans if scans is not None else _scan_sentences(sentences)
     norm_text = " ".join(sentences)
     mentions: dict[tuple[str, str], dict] = {}
     offset = 0
-    for sentence in sentences:
-        for pat in TRIPLE_PATTERNS:
-            for m in pat.regex.finditer(sentence):
-                groups = [m.group(1)] + ([m.group(2)] if pat.has_subj else [])
-                for g in groups:
-                    surface = _clean_surface(g)
-                    if not entity_ok(surface) or surface in STOP_ENTS:
-                        continue
-                    if _is_et_al_author(surface, sentence):
-                        continue
-                    key = (surface, pat.mtype)
-                    if key in mentions:
-                        continue
-                    pos = norm_text.find(g, offset)
-                    if pos < 0:
-                        pos = norm_text.find(g)
-                    mentions[key] = {
-                        "surface": surface, "mtype": pat.mtype,
-                        "span_start": max(pos, 0),
-                        "span_end": max(pos, 0) + len(g),
-                    }
+    for sent_idx, sentence in enumerate(sentences):
+        for pat, m in scans[sent_idx]:
+            groups = [m.group(1)] + ([m.group(2)] if pat.has_subj else [])
+            for g in groups:
+                surface = _clean_surface(g)
+                if not entity_ok(surface) or surface in STOP_ENTS:
+                    continue
+                if _is_et_al_author(surface, sentence):
+                    continue
+                key = (surface, pat.mtype)
+                if key in mentions:
+                    continue
+                pos = norm_text.find(g, offset)
+                if pos < 0:
+                    pos = norm_text.find(g)
+                mentions[key] = {
+                    "surface": surface, "mtype": pat.mtype,
+                    "span_start": max(pos, 0),
+                    "span_end": max(pos, 0) + len(g),
+                }
         offset += len(sentence) + 1
     out = sorted(mentions.values(), key=lambda d: (d["span_start"], d["surface"], d["mtype"]))
     for i, mnt in enumerate(out):
