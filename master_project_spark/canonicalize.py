@@ -83,13 +83,19 @@ def lsh_candidate_pairs(vertices: DataFrame, max_bucket: int = 50,
 
 
 def connected_components(vertices: DataFrame, edges: DataFrame,
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 50) -> DataFrame:
     """Iterative min-label propagation. vertices: (skey, init_label);
-    edges: (ka, kb) undirected. Returns (skey, entity_label)."""
-    spark = vertices.sparkSession
+    edges: (ka, kb) undirected. Returns (skey, entity_label).
+
+    Convergence requires iterations >= cluster diameter; non-convergence
+    within max_iter (a >50-hop near-dup chain) is loudly warned rather than
+    silently emitting split clusters."""
+    import warnings
+
     sym = edges.union(edges.select(F.col("kb").alias("ka"),
                                    F.col("ka").alias("kb")))
     sym = sym.localCheckpoint(eager=True)
+    converged = False
     labels = (vertices.groupBy("skey")
               .agg(F.min("init_label").alias("label"))
               .localCheckpoint(eager=True))
@@ -107,7 +113,13 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
                    .limit(1).count())
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        warnings.warn(
+            f"connected_components did not converge within {max_iter} "
+            "iterations — some clusters may be split", RuntimeWarning,
+            stacklevel=2)
     return labels.withColumnRenamed("label", "entity_label")
 
 

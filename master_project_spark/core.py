@@ -124,10 +124,6 @@ _MULTIDOT_RE = re.compile(r"\b(?:[a-zA-Z]+\.){1,}[a-zA-Z]\.")
 _SENTENCE_RE = re.compile(r"[^\.\!\?]*[\.\!\?]")
 
 
-def _sub_ci(pattern: str, repl, text: str) -> str:
-    return re.sub(pattern, repl, text, flags=re.IGNORECASE)
-
-
 def _ci(pat: str, repl) -> tuple[re.Pattern, object]:
     return (re.compile(pat, re.IGNORECASE), repl)
 

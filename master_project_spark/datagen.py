@@ -81,11 +81,15 @@ def _conv_rows(seed: int, ci: int, max_turns: int) -> list[dict]:
     of partitioning."""
     rng = random.Random(seed * 1_000_003 + ci)
     # Zipf-ish size by rank (skew/salting exercise, FIXTURES.md §1)
+    # NB: the inner max(2, ...) clamps BEFORE jitter (so deep-tail convs can
+    # still get 3 turns) — not redundant with the outer clamp
     n_turns = min(max_turns,
                   max(2, max(2, int(max_turns / (ci + 1) ** 0.7))
                       + rng.randint(-1, 1)))
     conv_id = f"conv{ci:08d}"
-    conv_offset = timedelta(hours=ci)
+    # bounded offset: hours=ci overflows the ns-timestamp range (year 2262)
+    # past ~2.1M conversations — wrap within ~11 years
+    conv_offset = timedelta(hours=ci % 100_000, seconds=ci // 100_000)
     roles = ["user", "assistant", "tool"]
     turn_rows = []
     for ti in range(n_turns):

@@ -14,8 +14,6 @@ ledger has one row per conversation, not per turn).
 
 from __future__ import annotations
 
-import json
-import time
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -57,32 +55,33 @@ def append_new_conversations(spark: SparkSession, transcripts: DataFrame,
              .mapInPandas(extract_turn_batches, EXTRACTED_SCHEMA))
     delta.write.mode("append").parquet(str(io._data_dir("extracted")))
     new_convs_df.write.mode("append").parquet(str(io._data_dir(LEDGER)))
+    # Crash between the two appends above leaves extracted rows for convs
+    # missing from the ledger; the retry re-extracts them, and because
+    # extraction is deterministic the duplicates are EXACT — _rebuild_derived
+    # drops them (dropDuplicates on the full row), making retries idempotent.
 
-    # refresh the extracted manifest to reflect the append (snapshot id is
-    # the ledger row count — monotone per append)
+    # refresh the extracted manifest in the standard TableIO shape
     extracted = io.read(spark, "extracted")
     new_rows = extracted.count()
-    manifest = {
-        "table": "extracted",
-        "snapshot_id": f"incremental:{new_rows}",
-        "rows": new_rows,
-        "committed_at": time.time(),
-    }
-    io._manifest_path("extracted").write_text(json.dumps(manifest))
+    io.write_manifest("extracted", f"incremental:{new_rows}")
 
-    _rebuild_derived(spark, io, alias_dict)
+    _rebuild_derived(spark, io, alias_dict, transcripts=transcripts)
     return {"new_convs": new_convs, "new_rows": new_rows}
 
 
 def _rebuild_derived(spark: SparkSession, io: TableIO,
-                     alias_dict: DataFrame) -> None:
-    """Derive triples/mentions/linked/entity_map/nodes/edges from the full
+                     alias_dict: DataFrame,
+                     transcripts: DataFrame | None = None) -> None:
+    """Derive triples/mentions/linked/entity_map/nodes/edges (and, when the
+    pipeline previously committed them, chunks/corpus) from the full
     extracted table (cheap relative to extraction; all JVM-side except the
     minhash signatures over distinct surfaces)."""
     from . import core
     from .canonicalize import build_entity_map
 
-    extracted = io.read(spark, "extracted")
+    # dropDuplicates makes a crash-retried append idempotent (extraction is
+    # deterministic, so re-extracted rows are exact duplicates)
+    extracted = io.read(spark, "extracted").dropDuplicates()
     snapshot = f"derived:{extracted.count()}"
 
     triples = extracted.filter(F.col("kind") == "T").select(
@@ -140,3 +139,16 @@ def _rebuild_derived(spark: SparkSession, io: TableIO,
              F.min("ts").alias("first_ts"),
              F.max("ts").alias("last_ts")))
     io.commit(edges, "edges", snapshot)
+
+    # chunks/corpus are conversation-level — rebuild from the full
+    # transcripts when the pipeline previously committed them, so they don't
+    # go stale relative to the sibling tables
+    if transcripts is not None and io.manifest("chunks") is not None:
+        from .pipeline import chunk_stage_df
+        chunks = chunk_stage_df(transcripts)
+        io.commit(chunks, "chunks", snapshot)
+        chunks = io.read(spark, "chunks")
+        alternation = core.keyword_alternation(
+            core.DATASET_KEYWORDS + core.BASELINE_KEYWORDS)
+        io.commit(chunks.filter(F.col("chunk_text").rlike(alternation)),
+                  "corpus", snapshot)

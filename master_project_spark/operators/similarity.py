@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import hashlib
 
-import numpy as np
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -67,7 +66,6 @@ def lsh_ann_topk(queries: DataFrame, corpus: DataFrame, k: int = 20,
     """ANN: sign-random-projection bucket join, exact cosine rescoring inside
     the bucket. At 100 TB the bucket join replaces the full cross join; the
     bucket id is computed map-side (no extra shuffle beyond the join)."""
-    spark = queries.sparkSession
     planes = _hyperplanes(dim, n_planes)
     planes_lit = F.array(*[
         F.array(*[F.lit(v) for v in row]) for row in planes])

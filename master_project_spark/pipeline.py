@@ -39,6 +39,24 @@ from .tableio import TableIO
 from .udfs import EXTRACTED_SCHEMA, chunk_text_udf, extract_turn_batches
 
 
+def chunk_stage_df(transcripts: DataFrame) -> DataFrame:
+    """Conversation chunking: ordering enforced JVM-side via
+    sort_array(collect_list(struct(turn_idx, text))) (W2), then ONE
+    vectorized pandas UDF chunks many conversations per Arrow batch (W1) —
+    no per-group pandas overhead. Shared by the pipeline and the
+    incremental rebuild."""
+    conv_texts = (
+        transcripts.select("conv_id", "turn_idx", "text")
+        .groupBy("conv_id")
+        .agg(F.concat_ws(" ", F.expr(
+            "transform(sort_array(collect_list(struct(turn_idx, text))), "
+            "s -> s.text)")).alias("conv_text")))
+    return conv_texts.select(
+        "conv_id",
+        F.posexplode(chunk_text_udf(F.col("conv_text")))
+        .alias("chunk_idx", "chunk_text"))
+
+
 @dataclass
 class PipelineResult:
     run_id: str
@@ -102,6 +120,12 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
                  extract_partitions: int | None = None) -> PipelineResult:
     io = TableIO(out_dir)
     fp = input_fingerprint(transcripts)
+    # alias-dependent stages must recompute when the dictionary changes
+    alias_row = alias_dict.select(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(alias, canonical_id, prior))").alias("h"),
+    ).collect()[0]
+    alias_fp = f"alias:{alias_row['n']}:{alias_row['h']}"
     run_id = run_id or f"run_{hashlib.sha256(f'{fp}:{time.time()}'.encode()).hexdigest()[:10]}"
     st = _StageRunner(spark, io, fp, resume, run_id)
     # cores*4: fine-grained tasks cut the straggler tail of the Python
@@ -134,6 +158,11 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
         .select("conv_id", "turn_idx", "mention_id", "surface",
                 "span_start", "span_end", "mtype"))
 
+    # conversation ledger: seeds incremental.append_new_conversations so a
+    # later grown-input call extracts only the delta
+    st.run("processed_convs",
+           lambda: transcripts.select("conv_id").distinct())
+
     tables = {"triples": triples, "mentions": mentions}
 
     # ---- chunks + corpus filter. Ordering is enforced JVM-side:
@@ -141,20 +170,7 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
     # per conversation (W2), then ONE vectorized pandas UDF chunks many
     # conversations per Arrow batch (W1) — no per-group pandas overhead.
     if with_chunks:
-        def _chunks():
-            conv_texts = (
-                transcripts.select("conv_id", "turn_idx", "text")
-                .groupBy("conv_id")
-                .agg(F.concat_ws(" ", F.expr(
-                    "transform(sort_array(collect_list(struct(turn_idx, text))), "
-                    "s -> s.text)")).alias("conv_text")))
-            return (
-                conv_texts
-                .select("conv_id",
-                        F.posexplode(chunk_text_udf(F.col("conv_text")))
-                        .alias("chunk_idx", "chunk_text")))
-
-        chunks = st.run("chunks", _chunks)
+        chunks = st.run("chunks", lambda: chunk_stage_df(transcripts))
         # P1 corpus filter: cheap rlike BEFORE anything expensive downstream
         alternation = core.keyword_alternation(core.DATASET_KEYWORDS
                                                + core.BASELINE_KEYWORDS)
@@ -171,17 +187,26 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
             F.lower(F.col("surface")) == F.col("alias"), "left")
         .select("conv_id", "turn_idx", "mention_id", "surface", "mtype",
                 "canonical_id",
-                F.coalesce(F.col("prior"), F.lit(0.0)).alias("link_score")))
+                F.coalesce(F.col("prior"), F.lit(0.0)).alias("link_score")),
+        extra=alias_fp)
     tables["linked_mentions"] = linked
 
-    # ---- canonicalize surfaces (subjects contribute too, minus 'self')
-    surfaces = (
-        mentions.select("surface")
-        .union(triples.filter(F.col("subj") != core.SELF_SUBJECT)
-               .select(F.col("subj").alias("surface")))
-        .distinct())
-    entity_map, n_dropped_buckets = build_entity_map(surfaces, alias_dict)
-    entity_map = st.run("entity_map", lambda: entity_map)
+    # ---- canonicalize surfaces (subjects contribute too, minus 'self');
+    # the LSH+CC computation runs INSIDE the stage closure so a resumed run
+    # skips it entirely
+    canon_info = {"n_dropped_buckets": 0}
+
+    def _entity_map():
+        surfaces = (
+            mentions.select("surface")
+            .union(triples.filter(F.col("subj") != core.SELF_SUBJECT)
+                   .select(F.col("subj").alias("surface")))
+            .distinct())
+        em, n_dropped = build_entity_map(surfaces, alias_dict)
+        canon_info["n_dropped_buckets"] = n_dropped
+        return em
+
+    entity_map = st.run("entity_map", _entity_map, extra=alias_fp)
     tables["entity_map"] = entity_map
 
     # ---- graph materialization
@@ -193,7 +218,7 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
                  F.sort_array(F.collect_set("surface")).alias("aliases"),
                  F.count(F.lit(1)).alias("n_mentions"))
         )
-    nodes = st.run("nodes", _nodes)
+    nodes = st.run("nodes", _nodes, extra=alias_fp)
     tables["nodes"] = nodes
 
     def _edges():
@@ -217,7 +242,7 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
                  F.min("ts").alias("first_ts"),
                  F.max("ts").alias("last_ts"))
         )
-    edges = st.run("edges", _edges)
+    edges = st.run("edges", _edges, extra=alias_fp)
     tables["edges"] = edges
 
     # ---- ordering invariant check (rides its own tiny agg; north_star's
@@ -235,7 +260,7 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
         "run_id": run_id, "stage": "_order_check",
         "snapshot_id": "", "skipped": False,
         "rows_out": order_violations, "n_files": 0, "wall_ms": 0.0,
-        "files_json": json.dumps({"lsh_buckets_dropped": n_dropped_buckets}),
+        "files_json": json.dumps({"lsh_buckets_dropped": canon_info["n_dropped_buckets"]}),
     })
     metrics_df = spark.createDataFrame(
         [(m["run_id"], m["stage"], m["snapshot_id"], bool(m["skipped"]),

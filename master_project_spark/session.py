@@ -29,7 +29,7 @@ def get_spark(cores: int | None = None, app_name: str = "master_project_spark",
         os.environ["PYTHONPATH"] = (
             f"{pkg_parent}{os.pathsep}{existing}" if existing else pkg_parent)
     if shuffle_partitions is None:
-        shuffle_partitions = max(32, 2 * (cores or 16))
+        shuffle_partitions = max(32, 2 * (cores or os.cpu_count() or 16))
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
     # shuffle/spill on tmpfs: the sandbox root disk is virtio-backed and its
     # writeback stalls small stages that follow write-heavy ones (a real

@@ -50,7 +50,11 @@ def run_to_memory(spark: SparkSession, input_dir: str,
                   query_name: str = "stream_triples") -> "object":
     """Start the stream into an in-memory sink (tests/demo). Returns the
     StreamingQuery; caller awaits processAllAvailable() then reads
-    spark.table(query_name)."""
+    spark.table(query_name).
+
+    Append mode: the watermark actually evicts window state and finalized
+    windows emit exactly once (complete mode would retain all state forever,
+    voiding the bounded-state claim)."""
     agg = windowed_triple_counts(streaming_triples(spark, input_dir))
     return (agg.writeStream.format("memory").queryName(query_name)
-            .outputMode("complete").start())
+            .outputMode("append").start())

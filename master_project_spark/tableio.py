@@ -77,6 +77,30 @@ class TableIO:
         tmp.replace(self._manifest_path(name))  # atomic commit
         return manifest
 
+    def write_manifest(self, name: str, snapshot_id: str) -> dict:
+        """(Re)write a manifest for data already on disk (e.g. after an
+        append) in the same shape ``commit`` produces — per-file lineage
+        from parquet footers, no Spark job."""
+        import pyarrow.parquet as pq
+        path = self._data_dir(name)
+        files = []
+        for f in sorted(path.rglob("*.parquet")):
+            files.append({"file": str(f.relative_to(path)),
+                          "rows": pq.ParquetFile(f).metadata.num_rows})
+        manifest = {
+            "table": name,
+            "snapshot_id": snapshot_id,
+            "rows": sum(f["rows"] for f in files),
+            "n_files": len(files),
+            "files": files,
+            "committed_at": time.time(),
+            "schema": None,
+        }
+        tmp = self._manifest_path(name).with_suffix(".tmp")
+        tmp.write_text(json.dumps(manifest, indent=1))
+        tmp.replace(self._manifest_path(name))
+        return manifest
+
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(str(self._data_dir(name)))
 

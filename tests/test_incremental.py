@@ -48,6 +48,50 @@ def test_incremental_append_equals_full_run(spark, tmp_path):
     assert inc_edges == full_edges
 
 
+def test_pipeline_seeds_ledger_for_incremental(spark, tmp_path):
+    """A run_pipeline output dir must be directly usable by incremental
+    append: the pipeline commits processed_convs, so the first append call
+    extracts ONLY the new conversations (no duplication)."""
+    out = str(tmp_path / "pipe_then_inc")
+    alias = alias_df(spark)
+    batch1 = transcripts_df(spark, 12, 8, seed=9)
+    run_pipeline(spark, batch1, out, alias, resume=False, with_chunks=True)
+    full = transcripts_df(spark, 20, 8, seed=9)
+    res = append_new_conversations(spark, full, out, alias)
+    assert res["new_convs"] == 8
+    # no duplicated conversations in triples
+    t = spark.read.parquet(f"{out}/triples")
+    dup = (t.groupBy("conv_id", "turn_idx", "subj", "pred", "obj")
+           .count().filter("count > 1").count())
+    assert dup == 0
+    # chunks rebuilt to cover the full input (not stale)
+    fresh = run_pipeline(spark, full, str(tmp_path / "fresh"), alias,
+                         resume=False, with_chunks=True)
+    inc_chunks = sorted(map(tuple, spark.read.parquet(f"{out}/chunks").collect()))
+    fresh_chunks = sorted(map(tuple, fresh.tables["chunks"].collect()))
+    assert inc_chunks == fresh_chunks
+
+
+def test_alias_change_invalidates_link_stages(spark, tmp_path):
+    """Resume must NOT serve stale alias-dependent stages when the alias
+    dictionary changes (snapshot ids include the alias fingerprint)."""
+    from pyspark.sql import functions as F
+    out = str(tmp_path / "alias_change")
+    t = transcripts_df(spark, 10, 8, seed=4)
+    alias1 = alias_df(spark)
+    r1 = run_pipeline(spark, t, out, alias1, resume=True, with_chunks=False)
+    alias2 = alias1.withColumn("prior", F.lit(0.123456))
+    r2 = run_pipeline(spark, t, out, alias2, resume=True, with_chunks=False)
+    by_stage = {m["stage"]: m for m in r2.metrics}
+    assert by_stage["extracted"]["skipped"] is True      # alias-independent
+    assert by_stage["linked_mentions"]["skipped"] is False
+    assert by_stage["entity_map"]["skipped"] is False
+    scores = {r["surface"]: r["link_score"]
+              for r in r2.tables["linked_mentions"].collect()
+              if r["canonical_id"] is not None}
+    assert scores and all(v == 0.123456 for v in scores.values())
+
+
 def test_incremental_ledger_rows(spark, tmp_path):
     t = transcripts_df(spark, 8, 6, seed=3)
     out = str(tmp_path / "led")
