@@ -640,6 +640,59 @@ def doc_display_projection(spark, sf_dir):
                  F.substring("text", 1, 40)).alias("display"))
 
 
+@q("graph_degree", f"""
+SELECT node, CAST(out_deg AS BIGINT) AS out_deg,
+       CAST(in_deg AS BIGINT) AS in_deg FROM (
+  SELECT coalesce(o.node, i.node) AS node,
+         coalesce(o.d, 0) AS out_deg, coalesce(i.d, 0) AS in_deg
+  FROM (SELECT subj AS node, count(*) AS d
+        FROM (SELECT subj, pred, obj, count(*) AS weight
+              FROM ({_pattern_union_sql()}) GROUP BY 1,2,3
+              HAVING count(*) >= 3) GROUP BY subj) o
+  FULL OUTER JOIN
+       (SELECT obj AS node, count(*) AS d
+        FROM (SELECT subj, pred, obj, count(*) AS weight
+              FROM ({_pattern_union_sql()}) GROUP BY 1,2,3
+              HAVING count(*) >= 3) GROUP BY obj) i
+  ON o.node = i.node)
+""")
+def graph_degree(spark, sf_dir):
+    """Graph analytics over the materialized edges: per-node in/out degree
+    (full outer join of the two aggregates)."""
+    e = pattern_edge_weights(spark, sf_dir)
+    out_deg = e.groupBy(F.col("subj").alias("node")) \
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+    in_deg = e.groupBy(F.col("obj").alias("node")) \
+        .agg(F.count(F.lit(1)).alias("in_deg"))
+    return (out_deg.join(in_deg, "node", "full_outer")
+            .select("node",
+                    F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+                    F.coalesce("in_deg", F.lit(0)).alias("in_deg")))
+
+
+@q("graph_two_hop", f"""
+SELECT a.subj AS src, b.obj AS dst, count(*) AS n_paths
+FROM (SELECT subj, obj FROM (SELECT subj, pred, obj, count(*) AS w
+      FROM ({_pattern_union_sql()}) GROUP BY 1,2,3 HAVING count(*) >= 3)) a
+JOIN (SELECT subj, obj FROM (SELECT subj, pred, obj, count(*) AS w
+      FROM ({_pattern_union_sql()}) GROUP BY 1,2,3 HAVING count(*) >= 3)) b
+  ON a.obj = b.subj
+WHERE a.subj <> b.obj
+GROUP BY 1, 2
+""")
+def graph_two_hop(spark, sf_dir):
+    """Two-hop path counts through the edge set (self-join on the
+    intermediate node) — the iterative-join building block of the
+    canonicalization CC loop, exposed as a checkable query."""
+    e = pattern_edge_weights(spark, sf_dir).select("subj", "obj")
+    a = e.select(F.col("subj").alias("src"), F.col("obj").alias("mid"))
+    b = e.select(F.col("subj").alias("mid"), F.col("obj").alias("dst"))
+    return (a.join(b, "mid")
+            .filter(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("n_paths")))
+
+
 @q("multimodal_binary_meta", """
 SELECT doc_id, octet_length(encode(text)) AS n_bytes,
        md5(text) AS content_md5 FROM documents
