@@ -163,7 +163,30 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
     st.run("processed_convs",
            lambda: transcripts.select("conv_id").distinct())
 
-    tables = {"triples": triples, "mentions": mentions}
+    # per-conversation stats via EXPLICIT two-phase salted aggregation
+    # (north-star skew handling): partial agg on (conv_id, salt) spreads a
+    # hot conversation over SALT_BUCKETS reducers, final agg combines the
+    # partials — the pattern any conv-keyed aggregate uses at 10^12 turns.
+    SALT_BUCKETS = 16
+
+    def _conv_stats():
+        partial = (
+            transcripts
+            .withColumn("salt", F.pmod(F.xxhash64("turn_idx"), F.lit(SALT_BUCKETS)))
+            .groupBy("conv_id", "salt")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.length("text")).alias("chars"),
+                 F.min("ts").alias("lo"), F.max("ts").alias("hi")))
+        return (partial.groupBy("conv_id")
+                .agg(F.sum("n").alias("n_turns"),
+                     F.sum("chars").alias("n_chars"),
+                     F.min("lo").alias("first_ts"),
+                     F.max("hi").alias("last_ts")))
+
+    tables_conv_stats = st.run("conv_stats", _conv_stats)
+
+    tables = {"triples": triples, "mentions": mentions,
+              "conv_stats": tables_conv_stats}
 
     # ---- chunks + corpus filter. Ordering is enforced JVM-side:
     # sort_array(collect_list(struct(turn_idx, text))) restores turn order

@@ -179,3 +179,15 @@ def test_kill_and_resume_partial_outputs(spark, tmp_path_factory):
     got_m = sorted(tuple(r) for r in res.tables["mentions"].collect())
     want_m = sorted(tuple(r) for r in full.tables["mentions"].collect())
     assert got_m == want_m
+
+
+def test_conv_stats_salted_aggregation(result, rows):
+    """Two-phase salted aggregation equals the direct per-conv stats."""
+    from collections import defaultdict
+    gold = defaultdict(lambda: [0, 0])
+    for r in rows:
+        gold[r["conv_id"]][0] += 1
+        gold[r["conv_id"]][1] += len(r["text"])
+    got = {r["conv_id"]: (r["n_turns"], r["n_chars"])
+           for r in result.tables["conv_stats"].collect()}
+    assert got == {k: tuple(v) for k, v in gold.items()}
