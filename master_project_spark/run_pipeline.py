@@ -30,6 +30,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--no-chunks", action="store_true")
+    ap.add_argument("--incremental", action="store_true",
+                    help="process only conversations absent from the "
+                         "committed ledger and append (grown-input mode)")
     args = ap.parse_args(argv)
 
     # absolute imports: spark-submit executes this file as a top-level
@@ -44,6 +47,20 @@ def main(argv: list[str] | None = None) -> int:
     else:
         transcripts = transcripts_df(spark, args.n_convs, args.max_turns,
                                      args.seed)
+    if args.incremental:
+        from master_project_spark.incremental import append_new_conversations
+        t0 = time.perf_counter()
+        res = append_new_conversations(spark, transcripts, args.out,
+                                       alias_df(spark))
+        wall = time.perf_counter() - t0
+        n_triples = spark.read.parquet(f"{args.out}/triples").count()
+        print(json.dumps({
+            "mode": "incremental", "new_convs": res["new_convs"],
+            "extracted_rows_total": res["new_rows"],
+            "triples_total": n_triples, "wall_sec": round(wall, 3),
+        }))
+        return 0
+
     t0 = time.perf_counter()
     result = run_pipeline(spark, transcripts, args.out, alias_df(spark),
                           resume=not args.no_resume,
