@@ -526,6 +526,10 @@ def normalize_verify_query(entity: str, mtype: str) -> str:
     """ent_extraction.py:220-237 — the verification query normalization:
     drop generic type words, collapse doubled spaces, append '+dataset' /
     '+baseline', keep only tokens with len > 2 (P4)."""
+    # NB the replacement is "\1" from the OPTIONAL last alternative
+    # "( ){2,}": for the word alternatives group 1 is empty, so they are
+    # deleted while doubled spaces collapse to one — the reference's own
+    # quirk (empty-match substitution is intentional, ent_extraction.py:224)
     if mtype == "DATASET":
         q = re.sub(r"data ?set|corpus|treebank|database|( ){2,}", r"\1", entity)
         q = f"{q} +dataset"

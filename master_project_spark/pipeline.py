@@ -71,12 +71,20 @@ class PipelineResult:
 
 def input_fingerprint(transcripts: DataFrame) -> str:
     """Cheap deterministic input identity: one pass computing row count +
-    order-independent content hash. Drives snapshot ids for resume."""
+    TWO order-independent content hashes. Drives snapshot ids for resume.
+
+    bit_xor alone is cancellation-prone (any even multiset of identical rows
+    XORs to 0, so swapping two copies of row A for two copies of row B
+    preserves count AND xor); the decimal sum of the same row hashes is
+    cancellation-free, so the pair is robust. decimal(38,0) accumulates
+    10^12 rows x 2^63 without overflow (ANSI-safe)."""
     row = transcripts.select(
         F.count(F.lit(1)).alias("n"),
         F.expr("bit_xor(xxhash64(conv_id, turn_idx, text))").alias("h"),
+        F.expr("sum(cast(xxhash64(conv_id, turn_idx, text) "
+               "as decimal(38,0)))").alias("s"),
     ).collect()[0]
-    return f"{row['n']}:{row['h']}"
+    return f"{row['n']}:{row['h']}:{row['s']}"
 
 
 class _StageRunner:
@@ -117,9 +125,22 @@ class _StageRunner:
 def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
                  alias_dict: DataFrame, *, resume: bool = True,
                  with_chunks: bool = True, run_id: str | None = None,
-                 extract_partitions: int | None = None) -> PipelineResult:
+                 extract_partitions: int | None = None,
+                 snapshot_token: str | None = None) -> PipelineResult:
     io = TableIO(out_dir)
-    fp = input_fingerprint(transcripts)
+    # Input identity for resume. An EXTERNAL snapshot token (Iceberg snapshot
+    # id / manifest version of the source table) skips the full input scan —
+    # at 100 TB the fingerprint pass is a full read just to decide whether to
+    # skip work. resume=False needs no stable identity at all, so it also
+    # skips the scan (a fresh nonce forces recompute of every stage).
+    fingerprint_scanned = False
+    if snapshot_token is not None:
+        fp = f"token:{snapshot_token}"
+    elif not resume:
+        fp = f"nonce:{time.time_ns()}"
+    else:
+        fp = input_fingerprint(transcripts)
+        fingerprint_scanned = True
     # alias-dependent stages must recompute when the dictionary changes
     alias_row = alias_dict.select(
         F.count(F.lit(1)).alias("n"),
@@ -140,7 +161,12 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
     # ONE pandas pass emits both triple and mention rows (kind column);
     # splitting into tables is JVM-side filter+project.
     turns = transcripts.select("conv_id", "turn_idx", "ts", "text")
-    if turns.rdd.getNumPartitions() < max(2, n_part // 4):
+    # partition-count probe without building an RDD conversion plan for the
+    # common file-backed case: inputFiles() is a metadata-only lookup
+    # (parquet scans split at maxPartitionBytes, so n_files lower-bounds the
+    # scan partitions); .rdd is the fallback for in-memory inputs only
+    n_in = len(transcripts.inputFiles()) or turns.rdd.getNumPartitions()
+    if n_in < max(2, n_part // 4):
         turns = turns.repartition(n_part, "conv_id", "turn_idx")
 
     extracted = st.run(
@@ -279,6 +305,15 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
                 | (F.col("hi") - F.col("lo") + 1 != F.col("n"))).count())
 
     # ---- run_metrics table
+    st.metrics.append({
+        "run_id": run_id, "stage": "_input_identity",
+        "snapshot_id": hashlib.sha256(fp.encode()).hexdigest()[:16],
+        "skipped": not fingerprint_scanned,
+        "rows_out": 0, "n_files": 0, "wall_ms": 0.0,
+        "files_json": json.dumps(
+            {"fingerprint_scanned": fingerprint_scanned,
+             "token_provided": snapshot_token is not None}),
+    })
     st.metrics.append({
         "run_id": run_id, "stage": "_order_check",
         "snapshot_id": "", "skipped": False,

@@ -12,6 +12,10 @@ resume — the Spark-native generalization of the reference's XML-cache probe
 Crash safety: data files may be half-written when a run is killed, but the
 manifest is only written after the parquet write action completes, so an
 absent/mismatched manifest => recompute (overwrite). Committed == readable.
+The previous manifest is DELETED before the data overwrite begins: a re-run
+killed mid-overwrite would otherwise leave a stale manifest whose
+snapshot_id can still match (same input => same id) while the data under it
+is clobbered — the manifest must never outlive the data it describes.
 """
 
 from __future__ import annotations
@@ -50,6 +54,10 @@ class TableIO:
         manifest, including per-file (== per output partition) row counts —
         the lineage record."""
         path = self._data_dir(name)
+        # invalidate FIRST: once the overwrite starts, the old manifest no
+        # longer describes readable data; a kill mid-write must leave the
+        # table uncommitted, not committed-but-clobbered
+        self._manifest_path(name).unlink(missing_ok=True)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
