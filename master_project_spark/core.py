@@ -167,10 +167,10 @@ _POSTCLEAN_STEPS = [_ci(r" \)", ")"), _ci(r"\( ", "(")]         # texts.py:112-1
 _SLUG_RESTORE_STEPS = [_ci(p, r) for p, r in SLUG_TO_ABBR]      # texts.py:116-118
 
 
-def normalize_and_split(text: str) -> list[str]:
-    """texts.py:72-120 ``sentence_splitter``: normalize then split into
-    sentences, rejecting those with fewer than 4 space-separated words
-    (texts.py:115), restoring slugged abbreviations, trimming."""
+def normalize_text_chain(text: str) -> str:
+    """texts.py:72-113 — the normalization chain alone (everything before
+    the sentence split). Exposed separately so the streaming chunker can
+    carry a NORMALIZED remainder across segment boundaries."""
     x = deburr(text)
 
     # texts.py:74-83 — per-string discovered multi-dot abbreviations
@@ -185,15 +185,30 @@ def normalize_and_split(text: str) -> list[str]:
     x = clean(x)  # texts.py:111
     for pat, repl in _POSTCLEAN_STEPS:
         x = pat.sub(repl, x)
+    return x
 
-    sentences = _SENTENCE_RE.findall(x)  # texts.py:114
-    sentences = [s for s in sentences if len(s.split(" ")) >= 4]  # texts.py:115
+
+def split_normalized(x: str) -> tuple[list[str], str]:
+    """texts.py:114-119 over an already-normalized string. Returns
+    (sentences, unterminated remainder). The sentence regex consumes the
+    string contiguously, so the remainder is exactly the trailing text with
+    no terminator — the streaming carry."""
+    matches = _SENTENCE_RE.findall(x)  # texts.py:114
+    remainder = x[sum(len(m) for m in matches):]
+    sentences = [s for s in matches if len(s.split(" ")) >= 4]  # texts.py:115
     restored = []
     for s in sentences:
         for pat, repl in _SLUG_RESTORE_STEPS:
             s = pat.sub(repl, s)
         restored.append(s.strip())  # texts.py:119
-    return restored
+    return restored, remainder
+
+
+def normalize_and_split(text: str) -> list[str]:
+    """texts.py:72-120 ``sentence_splitter``: normalize then split into
+    sentences, rejecting those with fewer than 4 space-separated words
+    (texts.py:115), restoring slugged abbreviations, trimming."""
+    return split_normalized(normalize_text_chain(text))[0]
 
 
 def group_sentences(sentences: list[str], max_tokens: int = 100,
@@ -226,6 +241,84 @@ def group_sentences(sentences: list[str], max_tokens: int = 100,
 def chunker(text: str, max_tokens: int = 200, overlap: int = 2) -> list[str]:
     """texts.py:124-128 — normalize+split then group (reference defaults)."""
     return group_sentences(normalize_and_split(text), max_tokens, overlap)
+
+
+#: bounded-memory guard: a carry (terminator-free run of text) larger than
+#: this is force-closed as a sentence rather than growing without bound
+MAX_CARRY_CHARS = 1_000_000
+
+
+class StreamingChunker:
+    """Incremental ``group_sentences`` (texts.py:7-26) with IDENTICAL quirk
+    semantics, but fed text in pieces so an arbitrarily long conversation
+    chunks in bounded memory (live state = one in-progress chunk + the
+    normalized unterminated remainder, never the whole conversation).
+
+    Boundary handling: each segment is normalized, sentence-split, and the
+    UNTERMINATED remainder (already normalized) is prepended to the next
+    segment before ITS normalization — so sentences and normalization rules
+    that span a segment boundary behave as in whole-text processing. The
+    residual assumption is that the normalization chain is idempotent on
+    its own output for the short remainder fragment (holds for the rule
+    set: slugs contain no '.', cleaned whitespace stays cleaned); texts for
+    which it does not hold chunk with boundary-local differences — the
+    documented trade for boundedness.
+
+    Quirk parity with group_sentences:
+    - a chunk closes only once the running count REACHED max_tokens
+      (overshoot-by-one, texts.py:11-14);
+    - ``finish()`` always emits the in-progress chunk (the trailing
+      for/else append, texts.py:23-24);
+    - the FIRST emitted chunk is dropped when overlap >= 1
+      (``chunks[bool(overlap):]``, texts.py:26);
+    - the conversation's final unterminated remainder is dropped, exactly
+      as the sentence regex drops it on the whole text (texts.py:114).
+    """
+
+    def __init__(self, max_tokens: int = 200, overlap: int = 2):
+        self.max_tokens, self.overlap = max_tokens, overlap
+        self.chunk: list[str] = []
+        self.tokens = 0
+        self.carry = ""               # normalized unterminated remainder
+        self._dropped_first = overlap < 1  # nothing to drop when overlap=0
+
+    def _emit(self, out: list[str]) -> None:
+        if not self._dropped_first:
+            self._dropped_first = True
+            return
+        out.append(" ".join(self.chunk))
+
+    def feed_text(self, raw_text: str) -> list[str]:
+        """Feed the next raw segment; returns chunks completed so far."""
+        text = (self.carry + " " + raw_text) if self.carry else raw_text
+        x = normalize_text_chain(text)
+        sentences, self.carry = split_normalized(x)
+        if len(self.carry) > MAX_CARRY_CHARS:
+            # terminator-free megarun: force-close so memory stays bounded
+            sentences = sentences + split_normalized(self.carry + ".")[0]
+            self.carry = ""
+        return self.feed_sentences(sentences)
+
+    def feed_sentences(self, sentences: list[str]) -> list[str]:
+        out: list[str] = []
+        for sentence in sentences:
+            if self.tokens < self.max_tokens:
+                self.chunk.append(sentence)
+                self.tokens += len(words(sentence))
+            else:
+                self._emit(out)
+                self.chunk = self.chunk[len(self.chunk) - self.overlap:] \
+                    + [sentence]
+                self.tokens = sum(len(words(s)) for s in self.chunk)
+        return out
+
+    def finish(self) -> list[str]:
+        """Flush at end of conversation: the final unterminated carry is
+        dropped (whole-text parity), then the for/else chunk append."""
+        self.carry = ""
+        out: list[str] = []
+        self._emit(out)
+        return out
 
 
 # ---------------------------------------------------------------------------

@@ -708,6 +708,140 @@ def multimodal_binary_meta(spark, sf_dir):
 
 
 # =========================================================================
+# Extraction fixpoint + verification (E1's control flow, SQL-checkable
+# variant over documents) — SURVEY §2.11 C5 / §2.2 P3 / VERDICT #1,#4
+# =========================================================================
+
+# The documents table is lowercase space-joined vocabulary words, so the
+# SQL-checkable fixpoint uses the pattern_triples extraction regexes, a
+# strict seed phrase as the round-1 "regex phrase bank", and an inline
+# alias vocabulary as the verification set (alias membership IS the
+# de-externalized verify step). The Spark side runs the REAL driver loop
+# (fixpoint.fixpoint_loop, shared with the pipeline stage); the oracle is
+# the same loop UNROLLED to the loop's max_rounds — once the fixpoint is
+# reached every further unrolled round adds nothing, so the two agree for
+# ANY convergence round <= max_rounds.
+# seed chosen so the loop exercises REAL multi-round growth at sf0.01:
+# round 1 verifies 4 entities from the seed-phrase corpus, the grown literal
+# keywords expand the corpus, round 2 adds 9 more, round 3 converges
+_FIX_SEED = "customer sort vector"
+_FIX_ALIAS = ["batch", "column", "customer", "hash", "key", "line", "part",
+              "row", "scan", "table", "value", "vector", "window"]
+_FIX_ROUNDS = 6
+
+
+def _fixpoint_sql() -> str:
+    # extraction is per-document, so it runs ONCE over all documents (ax);
+    # each unrolled round then just restricts ax to that round's corpus —
+    # identical semantics, and documents is scanned 12x instead of 36x+
+    # (DuckDB opens the parquet per scan; the flat form hit EMFILE)
+    alias_in = ", ".join(f"'{w}'" for w in _FIX_ALIAS)
+    extract_all = " UNION ALL ".join(
+        f"SELECT doc_id, unnest(regexp_extract_all(text, '{pat}', {g})) "
+        f"AS entity FROM documents"
+        for _pred, pat in _PATTERN_PREDS for g in (1, 2))
+    ctes = [
+        f"ax AS (SELECT DISTINCT doc_id, entity FROM ({extract_all}) "
+        f"WHERE entity IN ({alias_in}))",
+        f"c1 AS (SELECT doc_id FROM documents WHERE contains(text, '{_FIX_SEED}'))",
+        "v1 AS (SELECT DISTINCT entity FROM ax "
+        "WHERE doc_id IN (SELECT doc_id FROM c1))",
+        "e1 AS (SELECT entity, 1 AS first_round FROM v1)",
+    ]
+    for r in range(2, _FIX_ROUNDS + 1):
+        p = r - 1
+        ctes.append(
+            f"c{r} AS (SELECT doc_id FROM documents d WHERE EXISTS "
+            f"(SELECT 1 FROM e{p} WHERE contains(d.text, e{p}.entity)))")
+        ctes.append(
+            f"v{r} AS (SELECT DISTINCT entity FROM ax "
+            f"WHERE doc_id IN (SELECT doc_id FROM c{r}))")
+        ctes.append(
+            f"e{r} AS (SELECT entity, first_round FROM e{p} UNION ALL "
+            f"SELECT entity, {r} FROM v{r} "
+            f"WHERE entity NOT IN (SELECT entity FROM e{p}))")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT entity, CAST(first_round AS INT) AS first_round "
+              f"FROM e{_FIX_ROUNDS}")
+
+
+def _doc_pattern_entities(corpus: DataFrame) -> DataFrame:
+    outs = []
+    for _pred, pat in _PATTERN_PREDS:
+        for g in (1, 2):
+            outs.append(corpus.select(F.explode(F.expr(
+                f"regexp_extract_all(text, '{pat}', {g})")).alias("entity")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+@q("fixpoint_entities", _fixpoint_sql())
+def fixpoint_entities(spark, sf_dir):
+    """C5 — the extraction fixpoint as a driver loop (corpus filter: seed
+    phrase round 1, grown literal keywords after -> extract -> verify by
+    alias membership -> set-union + convergence probe -> keyword growth).
+    The DuckDB twin unrolls the identical loop _FIX_ROUNDS times."""
+    from .fixpoint import fixpoint_loop
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    res = fixpoint_loop(
+        docs,
+        round1_corpus=lambda d: d.filter(
+            F.col("text").contains(F.lit(_FIX_SEED))),
+        literal_corpus=lambda d, kws: d.join(
+            F.broadcast(kws), F.expr("contains(text, kw)"), "left_semi"),
+        extract=_doc_pattern_entities,
+        verify=lambda c: c.filter(F.col("entity").isin(_FIX_ALIAS)),
+        grow_keywords=lambda e: e.select(
+            F.col("entity").alias("kw")).distinct(),
+        max_rounds=_FIX_ROUNDS)
+    return res.entities.select(
+        "entity", F.col("first_round").cast("int").alias("first_round"))
+
+
+_ALIAS_IN = ", ".join(f"'{w}'" for w in _FIX_ALIAS)
+
+
+@q("verified_triples", f"""
+SELECT subj, pred, obj, count(*) AS n
+FROM ({_pattern_union_sql()})
+WHERE subj IN ({_ALIAS_IN}) AND obj IN ({_ALIAS_IN})
+GROUP BY subj, pred, obj
+""")
+def verified_triples(spark, sf_dir):
+    """P3/J6 — verification as a filter on extracted triples: both entity
+    slots must pass alias-membership verification before the triple counts
+    (verify_entity gating, ent_extraction.py:344-355). The pipeline's
+    transcript-side equivalent is the verified_triples stage
+    (pipeline.py) using core.verify_offline."""
+    return (pattern_triples(spark, sf_dir)
+            .filter(F.col("subj").isin(_FIX_ALIAS)
+                    & F.col("obj").isin(_FIX_ALIAS))
+            .groupBy("subj", "pred", "obj")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@q("title_coalesce", """
+SELECT doc_id,
+       coalesce(nullif(regexp_extract(text, '^(table [a-z]+)', 1), ''),
+                'doc-' || CAST(doc_id AS VARCHAR)) AS title
+FROM documents
+""")
+def title_coalesce(spark, sf_dir):
+    """S6 — title coalesce: parsed title when present, id fallback
+    (load_xml, utils.py:50-69). The 'parsed title' analog is a leading
+    'table <word>' phrase; docs without one fall back to their id."""
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.coalesce(
+                        F.nullif(F.regexp_extract("text", "^(table [a-z]+)", 1),
+                                 F.lit("")),
+                        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")))
+                    .alias("title")))
+
+
+# =========================================================================
 # Embeddings: similarity search — SURVEY §2.3 J1/W3
 # =========================================================================
 
@@ -865,28 +999,100 @@ def kg_pipeline_triples(spark, sf_dir):
 QUERIES["kg_pipeline_triples"] = kg_pipeline_triples
 
 
+# --- md5 primitives shared by the simhash / embedding SQL twins ---------
+# hex digit -> int: instr('0123456789abcdef', c) - 1
+_HEXD = "instr('0123456789abcdef', substr({h}, {pos}, 1)) - 1"
+
+
+def _simhash_sql() -> str:
+    """core.simhash64 in SQL: per-token 64-bit md5 prefix (big-endian),
+    per-bit +-1 vote over ALL token occurrences, majority -> bit set;
+    HUGEINT accumulates, then two's-complement fold to signed BIGINT."""
+    byte_hi = _HEXD.format(h="h", pos="2*(7 - b.range // 8) + 1")
+    byte_lo = _HEXD.format(h="h", pos="2*(7 - b.range // 8) + 2")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS t
+  FROM documents),
+bits AS (
+  SELECT doc_id, b.range AS b,
+         CASE WHEN (((({byte_hi}) * 16 + ({byte_lo})) >> (b.range % 8)) & 1) = 1
+              THEN 1 ELSE -1 END AS vote
+  FROM (SELECT doc_id, md5(t) AS h FROM toks), range(64) b),
+acc AS (
+  SELECT doc_id, b, sum(vote) AS s FROM bits GROUP BY doc_id, b),
+hv AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS v
+  FROM acc GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(CASE WHEN coalesce(hv.v, 0::HUGEINT) >= (1::HUGEINT << 63)
+                 THEN coalesce(hv.v, 0::HUGEINT) - (1::HUGEINT << 64)
+                 ELSE coalesce(hv.v, 0::HUGEINT) END AS BIGINT) AS simhash
+FROM documents d LEFT JOIN hv ON d.doc_id = hv.doc_id
+"""
+
+
+@q("simhash_documents", _simhash_sql())
 def simhash_documents(spark, sf_dir):
-    """SimHash fingerprints (dedup op; bit-majority vote isn't reasonably
-    SQL-expressible — rows-only check)."""
+    """SimHash fingerprints (dedup op). The DuckDB twin replicates the
+    md5-per-token bit-majority vote exactly (integer math throughout)."""
     from .udfs import simhash_udf
     return _t(spark, sf_dir, "documents") \
         .select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
 
 
-QUERIES["simhash_documents"] = simhash_documents
+def _f32(x: float) -> str:
+    """A literal DuckDB expression for the exact float32 Spark stores:
+    CAST of the shortest round-tripping repr to REAL."""
+    import struct
+    v = struct.unpack("f", struct.pack("f", x))[0]
+    return f"CAST('{v!r}' AS REAL)"
 
 
+def _ann_lsh_sql() -> str:
+    from .operators.similarity import _hyperplanes
+    planes = _hyperplanes(64, 8)
+    def bucket_expr(col: str) -> str:
+        terms = []
+        for p, row in enumerate(planes):
+            lit = "[" + ", ".join(f"{v:.1f}" for v in row) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({col}, {lit}) >= 0 "
+                f"THEN {1 << (7 - p)} ELSE 0 END)")
+        return " + ".join(terms)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS ce
+      FROM embeddings WHERE vec_id >= 8),
+qb AS (SELECT query_id, qe, {bucket_expr('qe')} AS bucket FROM q),
+cb AS (SELECT corpus_id, ce, {bucket_expr('ce')} AS bucket FROM c),
+s AS (SELECT query_id, corpus_id,
+             round(list_dot_product(qe, ce)
+                   / (sqrt(list_dot_product(qe, qe))
+                      * sqrt(list_dot_product(ce, ce))), 6) AS score
+      FROM qb JOIN cb USING (bucket))
+SELECT query_id, corpus_id, score,
+       CAST(rank AS BIGINT) AS rank FROM (
+  SELECT query_id, corpus_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, corpus_id) AS rank
+  FROM s) WHERE rank <= 10
+"""
+
+
+@q("ann_lsh_topk", _ann_lsh_sql())
 def ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate nearest neighbors over the embeddings table
-    (scale path of cosine_topk; bucket membership isn't SQL-expressible in
-    DuckDB without replicating the hyperplane derivation — rows-only)."""
+    (scale path of cosine_topk). The DuckDB twin inlines the md5-derived
+    sign-random-projection hyperplanes, so bucket membership is verified
+    too, not just the rescoring."""
     from .operators.similarity import lsh_ann_topk
     e = _t(spark, sf_dir, "embeddings")
-    return lsh_ann_topk(e.filter(F.col("vec_id") < 8),
-                        e.filter(F.col("vec_id") >= 8), k=10)
-
-
-QUERIES["ann_lsh_topk"] = ann_lsh_topk
+    return (lsh_ann_topk(e.filter(F.col("vec_id") < 8),
+                         e.filter(F.col("vec_id") >= 8), k=10)
+            .withColumn("rank", F.col("rank").cast("long")))
 
 
 def streaming_windowed_counts(spark, sf_dir):
@@ -900,17 +1106,63 @@ def streaming_windowed_counts(spark, sf_dir):
 QUERIES["streaming_windowed_counts"] = streaming_windowed_counts
 
 
+def _semantic_search_sql() -> str:
+    """core.embed_text (md5 hashed-BoW, L2-normalized, float32) + cosine
+    top-k in pure SQL. The corpus vector is rebuilt from tokens; the f32
+    quantization Spark's ArrayType(FloatType) applies is mimicked with
+    CAST(... AS REAL) so both engines rank identical rounded scores. The
+    five query embeddings are inlined as exact-f32 literals (computed from
+    the shared core at import — deterministic, no data access)."""
+    from .operators.retrieval import DATASET_QUERIES
+    qrows = []
+    for qid, qtext in enumerate(DATASET_QUERIES[:5]):
+        for idx, w in enumerate(core.embed_text(qtext)):
+            if w != 0.0:
+                qrows.append(f"({qid}, '{qtext}', {idx}, {_f32(w)})")
+    qvals = ", ".join(qrows)
+    idx_hi = _HEXD.format(h="h", pos="7")
+    idx_lo = _HEXD.format(h="h", pos="8")
+    sgn = _HEXD.format(h="h", pos="10")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS t
+  FROM documents),
+contrib AS (
+  SELECT doc_id,
+         ((({idx_hi}) * 16 + ({idx_lo})) % 64) AS idx,
+         CASE WHEN (({sgn}) % 2) = 0 THEN 1.0 ELSE -1.0 END AS s
+  FROM (SELECT doc_id, md5(t) AS h FROM toks)),
+vec AS (SELECT doc_id, idx, sum(s) AS v FROM contrib GROUP BY doc_id, idx),
+nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS n FROM vec GROUP BY doc_id),
+qv(query_id, query, idx, w) AS (VALUES {qvals}),
+dots AS (
+  SELECT vec.doc_id, qv.query_id,
+         sum(CAST(vec.v / nrm.n AS REAL) * qv.w) AS dot
+  FROM vec JOIN nrm USING (doc_id) JOIN qv USING (idx)
+  GROUP BY vec.doc_id, qv.query_id),
+scored AS (
+  SELECT d.doc_id, q.query_id, q.query, d.text AS hit_text,
+         round(coalesce(dots.dot, 0.0), 6) AS score
+  FROM documents d
+  CROSS JOIN (SELECT DISTINCT query_id, query FROM qv) q
+  LEFT JOIN dots ON dots.doc_id = d.doc_id AND dots.query_id = q.query_id)
+SELECT query_id, query, doc_id, hit_text, score, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rank
+      FROM scored) WHERE rank <= 10
+"""
+
+
+@q("semantic_search_documents", _semantic_search_sql())
 def semantic_search_documents(spark, sf_dir):
     """E1 retrieval parity: the reference's canned DATASET queries run
-    against the documents table as the corpus (hashed-BoW embeddings; the
-    Python embedding UDF makes this rows-only)."""
+    against the documents table as the corpus (hashed-BoW embeddings). The
+    DuckDB twin re-derives the md5 embedding in SQL, so the whole retrieval
+    path is hash-verified."""
     from .operators.retrieval import DATASET_QUERIES, semantic_search
     docs = _t(spark, sf_dir, "documents")
     return semantic_search(docs, DATASET_QUERIES[:5], text_col="text",
                            id_cols=["doc_id"], top_k=10)
-
-
-QUERIES["semantic_search_documents"] = semantic_search_documents
 
 
 def normalize_documents(spark, sf_dir):

@@ -1,27 +1,60 @@
-"""Incremental batch ingest: process ONLY conversations not yet committed.
+"""Incremental batch ingest — O(delta), never O(history).
 
 The stage-level resume in pipeline.py skips whole stages when the input is
-unchanged. This module handles the other production case: the transcripts
-table GREW (new conversations appended). The expensive stage — pandas-UDF
-extraction — runs only on the delta (left-anti join against the committed
-conversation ledger, the Spark-native generalization of the reference's
-cache probe utils.py:38-47); cheap derived tables (linking, canonicalization,
-graph) are rebuilt from the full extracted table.
+unchanged. This module handles the production case where the transcripts
+table GREW: new conversations appended, and/or turns appended to
+already-processed conversations.
 
-At 10^12-turn scale the ledger anti-join is a real distributed join (the
-ledger has one row per conversation, not per turn).
+Design (round-2 rework per VERDICT #2 / ADVICE):
+
+- Every per-conversation table (extracted, triples, mentions,
+  linked_mentions, verified_triples, chunks, corpus, conv_stats,
+  processed_convs) is hive-partitioned by an ingest ``batch`` column.
+- The ledger (processed_convs) records each conversation's TURN COUNT and
+  owning batch, so conversations whose turn count changed are DETECTED and
+  re-extracted (previously they were silently dropped — sibling tables
+  diverged).
+- An append writes ONE new batch partition (the delta) via dynamic
+  partition overwrite, and rewrites ONLY the old partitions that contained
+  re-processed conversations (their stale rows are dropped by an anti-join).
+  Work is O(delta + touched partitions); untouched partitions are never
+  read or written — asserted by tests on file mtimes.
+- The batch id is a deterministic hash of the delta's conversation set, so
+  a crash-retry recomputes the SAME batch and the dynamic overwrite is
+  idempotent — no duplicate rows can survive a retry (the round-1 design
+  needed a full-table dropDuplicates for this; gone).
+- Graph tables (entity_map / nodes / edges) merge incrementally on the
+  append-only path: new surfaces get exact-match assignment (alias-dict
+  hit, else exact canonical-key hit, else a fresh singleton entity) and the
+  node/edge aggregates merge algebraically (counts/sums/min/max are
+  mergeable). Full LSH re-canonicalization — the global clustering pass —
+  runs only when conversations were REWRITTEN (removals break algebraic
+  merges) or when the new-surface fraction exceeds ``rebuild_threshold``
+  (the periodic global re-canonicalization; loud in run_metrics).
+
+At 10^12-turn scale the ledger anti-join is a real distributed join (one
+row per conversation, not per turn), and the touched-partition rewrite is
+the parquet stand-in for an Iceberg MERGE/rewrite-files commit.
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
+import time
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .tableio import TableIO
-from .udfs import EXTRACTED_SCHEMA, extract_turn_batches
+from .udfs import (EXTRACTED_SCHEMA, canonical_key_udf, extract_turn_batches,
+                   make_verify_udf)
 
 LEDGER = "processed_convs"
+
+#: new_surfaces / existing_surfaces above this triggers a full LSH
+#: re-canonicalization instead of exact-match incremental assignment
+REBUILD_THRESHOLD = 0.2
 
 
 def _ledger(spark: SparkSession, io: TableIO) -> DataFrame | None:
@@ -31,95 +64,309 @@ def _ledger(spark: SparkSession, io: TableIO) -> DataFrame | None:
     return io.read(spark, LEDGER)
 
 
+def _batch_id(todo: DataFrame) -> str:
+    """Deterministic batch id from the delta conversation set: a crash
+    retry recomputes the same id, making the partition overwrite
+    idempotent."""
+    row = todo.select(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(conv_id, cur_n))").alias("h"),
+        F.expr("sum(cast(xxhash64(conv_id, cur_n) as decimal(38,0)))")
+        .alias("s")).collect()[0]
+    return "b" + hashlib.sha256(
+        f"{row['n']}:{row['h']}:{row['s']}".encode()).hexdigest()[:12]
+
+
+def _dynamic_overwrite(io: TableIO, name: str, df: DataFrame,
+                       snapshot: str,
+                       expect_batches: list[str] | None = None) -> None:
+    """Overwrite ONLY the batch partitions present in df; manifest
+    invalidate-first then rewrite (same crash contract as TableIO.commit).
+
+    ``expect_batches``: partitions whose content this write REDEFINES even
+    if the new content is empty — dynamic overwrite skips partitions absent
+    from df, so a touched partition whose rows were all removed would
+    otherwise keep its stale files. Those directories are deleted after the
+    write (before the manifest — a crash in between leaves the table
+    uncommitted, never wrong)."""
+    import shutil
+
+    df = df.localCheckpoint(eager=True)  # also breaks self-read-overwrite
+    present = {r["batch"] for r in df.select("batch").distinct().collect()}
+    io._manifest_path(name).unlink(missing_ok=True)
+    (df.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch").parquet(str(io._data_dir(name))))
+    for b in set(expect_batches or ()) - present:
+        shutil.rmtree(io._data_dir(name) / f"batch={b}", ignore_errors=True)
+    io.write_manifest(name, snapshot, schema=df.schema.jsonValue())
+
+
 def append_new_conversations(spark: SparkSession, transcripts: DataFrame,
                              out_dir: str, alias_dict: DataFrame,
-                             extract_partitions: int | None = None) -> dict:
-    """Extract the not-yet-processed conversations, append to the
-    ``extracted`` table and the conversation ledger, then rebuild the
-    derived tables. Returns {"new_convs": n, "new_rows": m}."""
+                             extract_partitions: int | None = None,
+                             rebuild_threshold: float = REBUILD_THRESHOLD) -> dict:
+    """Process the delta (new + grown conversations) and fold it into every
+    committed table. Returns counters (see run_metrics row it appends)."""
+    t0 = time.perf_counter()
     io = TableIO(out_dir)
     n_part = extract_partitions or spark.sparkContext.defaultParallelism * 4
 
+    # ---- delta discovery: per-conv turn counts vs the ledger
+    cur = transcripts.groupBy("conv_id").agg(F.count(F.lit(1)).alias("cur_n"))
     ledger = _ledger(spark, io)
-    todo = transcripts
-    if ledger is not None:
-        todo = transcripts.join(ledger, "conv_id", "left_anti")
+    if ledger is None:
+        joined = cur.select("conv_id", "cur_n",
+                            F.lit(None).cast("long").alias("old_n"),
+                            F.lit(None).cast("string").alias("old_batch"))
+    else:
+        led = ledger.select("conv_id", F.col("n_turns").alias("old_n"),
+                            F.col("batch").alias("old_batch"))
+        joined = cur.join(led, "conv_id", "left")
+    todo = (joined.filter("old_n IS NULL OR old_n <> cur_n")
+            .localCheckpoint(eager=True))
+    agg = todo.agg(
+        F.sum(F.when(F.col("old_n").isNull(), 1).otherwise(0)).alias("new"),
+        F.sum(F.when(F.col("old_n").isNotNull(), 1).otherwise(0)).alias("grown"),
+    ).collect()[0]
+    n_new, n_grown = int(agg["new"] or 0), int(agg["grown"] or 0)
+    if n_new + n_grown == 0:
+        return {"new_convs": 0, "grown_convs": 0, "new_rows": 0,
+                "touched_batches": 0, "graph_rebuilt": False}
 
-    new_convs_df = todo.select("conv_id").distinct()
-    new_convs = new_convs_df.count()
-    if new_convs == 0:
-        return {"new_convs": 0, "new_rows": 0}
+    batch = _batch_id(todo)
+    snapshot = f"incremental:{batch}"
+    todo_ids = todo.select("conv_id")
+    touched = sorted(r["old_batch"] for r in todo
+                     .filter("old_batch IS NOT NULL")
+                     .select("old_batch").distinct().collect())
 
-    delta = (todo.select("conv_id", "turn_idx", "ts", "text")
-             .repartition(n_part, "conv_id", "turn_idx")
-             .mapInPandas(extract_turn_batches, EXTRACTED_SCHEMA))
-    delta.write.mode("append").parquet(str(io._data_dir("extracted")))
-    new_convs_df.write.mode("append").parquet(str(io._data_dir(LEDGER)))
-    # Crash between the two appends above leaves extracted rows for convs
-    # missing from the ledger; the retry re-extracts them, and because
-    # extraction is deterministic the duplicates are EXACT — _rebuild_derived
-    # drops them (dropDuplicates on the full row), making retries idempotent.
+    def rewrite(name: str, delta_df: DataFrame) -> None:
+        """delta batch + anti-joined rewrite of touched old partitions."""
+        full = delta_df
+        if touched:
+            old = (io.read(spark, name)
+                   .filter(F.col("batch").isin(touched))
+                   .join(todo_ids, "conv_id", "left_anti")
+                   .select(*delta_df.columns))
+            full = full.unionByName(old)
+        _dynamic_overwrite(io, name, full, snapshot,
+                           expect_batches=touched)
 
-    # refresh the extracted manifest in the standard TableIO shape
-    extracted = io.read(spark, "extracted")
-    new_rows = extracted.count()
-    io.write_manifest("extracted", f"incremental:{new_rows}")
+    # ---- extract ONLY the delta conversations
+    delta_turns = (transcripts.join(todo_ids, "conv_id", "left_semi")
+                   .select("conv_id", "turn_idx", "ts", "text")
+                   .repartition(n_part, "conv_id", "turn_idx"))
+    delta_ex = (delta_turns.mapInPandas(extract_turn_batches, EXTRACTED_SCHEMA)
+                .withColumn("batch", F.lit(batch)))
+    rewrite("extracted", delta_ex)
 
-    _rebuild_derived(spark, io, alias_dict, transcripts=transcripts)
-    return {"new_convs": new_convs, "new_rows": new_rows}
+    # ---- derived per-conversation tables: project the changed partitions
+    # of the committed extracted table (delta + rewritten old batches)
+    changed = io.read(spark, "extracted").filter(
+        F.col("batch").isin([batch] + touched))
+    new_rows = changed.filter(F.col("batch") == batch).count()
 
+    tr_cols = ["conv_id", "turn_idx", "ts", "subj", "pred", "obj",
+               "confidence", "mtype", "batch"]
+    _dynamic_overwrite(io, "triples",
+                       changed.filter(F.col("kind") == "T").select(*tr_cols),
+                       snapshot, expect_batches=touched)
+    me_cols = ["conv_id", "turn_idx", "mention_id", "surface", "span_start",
+               "span_end", "mtype", "batch"]
+    _dynamic_overwrite(io, "mentions",
+                       changed.filter(F.col("kind") == "M").select(*me_cols),
+                       snapshot, expect_batches=touched)
 
-def _rebuild_derived(spark: SparkSession, io: TableIO,
-                     alias_dict: DataFrame,
-                     transcripts: DataFrame | None = None) -> None:
-    """Derive triples/mentions/linked/entity_map/nodes/edges (and, when the
-    pipeline previously committed them, chunks/corpus) from the full
-    extracted table (cheap relative to extraction; all JVM-side except the
-    minhash signatures over distinct surfaces)."""
-    from . import core
-    from .canonicalize import build_entity_map
-
-    # dropDuplicates makes a crash-retried append idempotent (extraction is
-    # deterministic, so re-extracted rows are exact duplicates)
-    extracted = io.read(spark, "extracted").dropDuplicates()
-    snapshot = f"derived:{extracted.count()}"
-
-    triples = extracted.filter(F.col("kind") == "T").select(
-        "conv_id", "turn_idx", "ts", "subj", "pred", "obj", "confidence",
-        "mtype")
-    io.commit(triples, "triples", snapshot)
-    triples = io.read(spark, "triples")
-
-    mentions = extracted.filter(F.col("kind") == "M").select(
-        "conv_id", "turn_idx", "mention_id", "surface", "span_start",
-        "span_end", "mtype")
-    io.commit(mentions, "mentions", snapshot)
-    mentions = io.read(spark, "mentions")
-
-    linked = mentions.join(
-        F.broadcast(alias_dict),
-        F.lower(F.col("surface")) == F.col("alias"), "left") \
+    changed_mentions = io.read(spark, "mentions").filter(
+        F.col("batch").isin([batch] + touched))
+    _dynamic_overwrite(
+        io, "linked_mentions",
+        changed_mentions.join(
+            F.broadcast(alias_dict),
+            F.lower(F.col("surface")) == F.col("alias"), "left")
         .select("conv_id", "turn_idx", "mention_id", "surface", "mtype",
                 "canonical_id",
-                F.coalesce(F.col("prior"), F.lit(0.0)).alias("link_score"))
-    io.commit(linked, "linked_mentions", snapshot)
-    linked = io.read(spark, "linked_mentions")
+                F.coalesce(F.col("prior"), F.lit(0.0)).alias("link_score"),
+                "batch"),
+        snapshot, expect_batches=touched)
 
-    surfaces = (mentions.select("surface")
-                .union(triples.filter(F.col("subj") != core.SELF_SUBJECT)
-                       .select(F.col("subj").alias("surface")))
-                .distinct())
-    entity_map, _ = build_entity_map(surfaces, alias_dict)
-    io.commit(entity_map, "entity_map", snapshot)
-    entity_map = io.read(spark, "entity_map")
+    changed_triples = io.read(spark, "triples").filter(
+        F.col("batch").isin([batch] + touched))
+    if io.manifest("verified_triples") is not None:
+        from . import core
+        alias_set = frozenset(
+            r["alias"] for r in alias_dict.select("alias").distinct().collect())
+        verify_udf = make_verify_udf(spark, alias_set)
+        _dynamic_overwrite(
+            io, "verified_triples",
+            changed_triples.filter(
+                verify_udf(F.col("obj"), F.col("mtype"))
+                & ((F.col("subj") == core.SELF_SUBJECT)
+                   | verify_udf(F.col("subj"), F.col("mtype")))),
+            snapshot, expect_batches=touched)
 
-    nodes = (linked.join(entity_map, "surface")
-             .groupBy("entity_id")
-             .agg(F.min("surface").alias("canonical"),
-                  F.sort_array(F.collect_set("surface")).alias("aliases"),
-                  F.count(F.lit(1)).alias("n_mentions")))
-    io.commit(nodes, "nodes", snapshot)
+    # ---- conversation-level tables (chunks/corpus/conv_stats/ledger):
+    # recompute the DELTA conversations only + touched-partition rewrite
+    from .pipeline import chunk_stage_df, conv_stats_df
+    delta_transcripts = transcripts.join(todo_ids, "conv_id", "left_semi")
+    if io.manifest("chunks") is not None:
+        from . import core
+        rewrite("chunks", chunk_stage_df(delta_transcripts)
+                .withColumn("batch", F.lit(batch)))
+        if io.manifest("corpus") is not None:
+            alternation = core.keyword_alternation(
+                core.DATASET_KEYWORDS + core.BASELINE_KEYWORDS)
+            changed_chunks = io.read(spark, "chunks").filter(
+                F.col("batch").isin([batch] + touched))
+            _dynamic_overwrite(
+                io, "corpus",
+                changed_chunks.filter(
+                    F.col("chunk_text").rlike(alternation)),
+                snapshot, expect_batches=touched)
+    if io.manifest("conv_stats") is not None:
+        rewrite("conv_stats", conv_stats_df(delta_transcripts)
+                .withColumn("batch", F.lit(batch)))
+    rewrite(LEDGER, todo.select(
+        "conv_id", F.col("cur_n").alias("n_turns"),
+        F.lit(batch).alias("batch")))
 
+    # ---- graph tables: incremental merge, or full re-canonicalization
+    rebuilt = _merge_graph(spark, io, alias_dict, batch, touched,
+                           rebuild_threshold)
+
+    metrics = {
+        "batch": batch, "new_convs": n_new, "grown_convs": n_grown,
+        "new_rows": int(new_rows), "touched_batches": len(touched),
+        "graph_rebuilt": rebuilt,
+        "wall_ms": round((time.perf_counter() - t0) * 1000, 3),
+    }
+    spark.createDataFrame(
+        [("incremental", "incremental_append", batch, False, int(new_rows),
+          len(touched), metrics["wall_ms"], json.dumps(metrics))],
+        "run_id string, stage string, snapshot_id string, skipped boolean, "
+        "rows_out long, n_files int, wall_ms double, files_json string",
+    ).write.mode("append").parquet(f"{out_dir}/run_metrics")
+    return metrics
+
+
+# ---------------------------------------------------------------------------
+# Graph-table maintenance
+# ---------------------------------------------------------------------------
+
+def _surfaces_of(triples: DataFrame, mentions: DataFrame) -> DataFrame:
+    from . import core
+    return (mentions.select("surface")
+            .union(triples.filter(F.col("subj") != core.SELF_SUBJECT)
+                   .select(F.col("subj").alias("surface")))
+            .distinct())
+
+
+def _merge_graph(spark: SparkSession, io: TableIO, alias_dict: DataFrame,
+                 batch: str, touched: list[str],
+                 rebuild_threshold: float) -> bool:
+    """Returns True when a full re-canonicalization ran."""
+    have_graph = io.manifest("entity_map") is not None
+    delta_triples = io.read(spark, "triples").filter(F.col("batch") == batch)
+    delta_mentions = io.read(spark, "mentions").filter(
+        F.col("batch") == batch)
+
+    if have_graph and not touched:
+        entity_map = io.read(spark, "entity_map").drop("batch")
+        new_surfaces = (_surfaces_of(delta_triples, delta_mentions)
+                        .join(entity_map.select("surface"), "surface",
+                              "left_anti")
+                        .localCheckpoint(eager=True))
+        n_new_s = new_surfaces.count()
+        n_old_s = entity_map.count()
+        if n_new_s <= rebuild_threshold * max(n_old_s, 1):
+            _incremental_graph_merge(spark, io, alias_dict, batch,
+                                     entity_map, new_surfaces, delta_triples)
+            return False
+    _rebuild_graph_full(spark, io, alias_dict, batch)
+    return True
+
+
+def _incremental_graph_merge(spark, io, alias_dict, batch,
+                             entity_map: DataFrame, new_surfaces: DataFrame,
+                             delta_triples: DataFrame) -> None:
+    """Append-only path: exact-match entity assignment for new surfaces +
+    algebraic merge of node/edge aggregates. O(delta) shuffle work; the
+    node re-aggregation touches only delta mention rows."""
+    snapshot = f"incremental:{batch}"
+
+    # 1) assign new surfaces: alias-dict hit -> canonical id; exact
+    # canonical-key hit -> that cluster; else fresh singleton (LSH pairing
+    # of near-duplicates is deferred to the periodic full rebuild)
+    skeyed = new_surfaces.withColumn("skey", canonical_key_udf("surface"))
+    by_alias = skeyed.join(
+        F.broadcast(alias_dict.select("alias", "canonical_id")),
+        F.lower(F.col("surface")) == F.col("alias"), "left")
+    skey_map = (entity_map.groupBy("skey")
+                .agg(F.min("entity_id").alias("skey_entity")))
+    assigned = (by_alias.join(skey_map, "skey", "left")
+                .select(
+                    "surface", "skey",
+                    F.coalesce(F.col("canonical_id"), F.col("skey_entity"),
+                               F.concat(F.lit("surf_"), F.col("skey")))
+                    .alias("entity_id"),
+                    F.lit(batch).alias("batch"))
+                .localCheckpoint(eager=True))
+    if assigned.count() > 0:
+        _dynamic_overwrite(io, "entity_map", assigned, snapshot)
+    em_full = io.read(spark, "entity_map").drop("batch") \
+        .localCheckpoint(eager=True)
+
+    # 2) nodes: aggregate the DELTA linked mentions, merge algebraically
+    delta_linked = io.read(spark, "linked_mentions").filter(
+        F.col("batch") == batch)
+    new_nodes = (delta_linked.join(em_full, "surface")
+                 .groupBy("entity_id")
+                 .agg(F.min("surface").alias("canonical"),
+                      F.sort_array(F.collect_set("surface")).alias("aliases"),
+                      F.count(F.lit(1)).alias("n_mentions")))
+    old_nodes = io.read(spark, "nodes")
+    merged_nodes = (
+        old_nodes.alias("o").join(new_nodes.alias("n"), "entity_id",
+                                  "full_outer")
+        .select(
+            "entity_id",
+            F.least("o.canonical", "n.canonical").alias("canonical"),
+            F.sort_array(F.array_distinct(F.concat(
+                F.coalesce(F.col("o.aliases"),
+                           F.expr("cast(array() as array<string>)")),
+                F.coalesce(F.col("n.aliases"),
+                           F.expr("cast(array() as array<string>)")))))
+            .alias("aliases"),
+            (F.coalesce("o.n_mentions", F.lit(0))
+             + F.coalesce("n.n_mentions", F.lit(0))).alias("n_mentions"))
+        .localCheckpoint(eager=True))
+    io.commit(merged_nodes, "nodes", snapshot)
+
+    # 3) edges: aggregate delta triples through the CURRENT entity map,
+    # merge algebraically (weight/sum/min/max are mergeable; the stored
+    # 6-dp avg_confidence merges weighted, drift <= 5e-7 per merge)
+    new_edges = _edges_from(delta_triples.drop("batch"), em_full)
+    old_edges = io.read(spark, "edges")
+    w_o = F.coalesce("o.weight", F.lit(0))
+    w_n = F.coalesce("n.weight", F.lit(0))
+    merged_edges = (
+        old_edges.alias("o").join(new_edges.alias("n"),
+                                  ["src", "dst", "pred"], "full_outer")
+        .select(
+            "src", "dst", "pred",
+            (w_o + w_n).alias("weight"),
+            F.round((w_o * F.coalesce("o.avg_confidence", F.lit(0.0))
+                     + w_n * F.coalesce("n.avg_confidence", F.lit(0.0)))
+                    / (w_o + w_n), 6).alias("avg_confidence"),
+            F.least("o.first_ts", "n.first_ts").alias("first_ts"),
+            F.greatest("o.last_ts", "n.last_ts").alias("last_ts"))
+        .localCheckpoint(eager=True))
+    io.commit(merged_edges, "edges", snapshot)
+
+
+def _edges_from(triples: DataFrame, entity_map: DataFrame) -> DataFrame:
+    from . import core
     em_subj = entity_map.select(F.col("surface").alias("subj"),
                                 F.col("entity_id").alias("src"))
     em_obj = entity_map.select(F.col("surface").alias("obj"),
@@ -128,7 +375,7 @@ def _rebuild_derived(spark: SparkSession, io: TableIO,
          .withColumn("self_src", F.concat(F.lit("conv:"), F.col("conv_id")))
          .join(em_subj, "subj", "left")
          .join(em_obj, "obj", "left"))
-    edges = (t.select(
+    return (t.select(
         F.when(F.col("subj") == core.SELF_SUBJECT, F.col("self_src"))
         .otherwise(F.coalesce(F.col("src"), F.col("subj"))).alias("src"),
         F.coalesce(F.col("dst"), F.col("obj")).alias("dst"),
@@ -138,17 +385,33 @@ def _rebuild_derived(spark: SparkSession, io: TableIO,
              F.round(F.avg("confidence"), 6).alias("avg_confidence"),
              F.min("ts").alias("first_ts"),
              F.max("ts").alias("last_ts")))
-    io.commit(edges, "edges", snapshot)
 
-    # chunks/corpus are conversation-level — rebuild from the full
-    # transcripts when the pipeline previously committed them, so they don't
-    # go stale relative to the sibling tables
-    if transcripts is not None and io.manifest("chunks") is not None:
-        from .pipeline import chunk_stage_df
-        chunks = chunk_stage_df(transcripts)
-        io.commit(chunks, "chunks", snapshot)
-        chunks = io.read(spark, "chunks")
-        alternation = core.keyword_alternation(
-            core.DATASET_KEYWORDS + core.BASELINE_KEYWORDS)
-        io.commit(chunks.filter(F.col("chunk_text").rlike(alternation)),
-                  "corpus", snapshot)
+
+def _rebuild_graph_full(spark, io, alias_dict, batch: str) -> None:
+    """Global re-canonicalization: full MinHash-LSH + CC over all surfaces,
+    then nodes/edges from scratch. Runs on rewrites (removals break the
+    algebraic merge) and when the new-surface fraction crosses the
+    threshold — the 'periodic' compaction of the incremental design."""
+    from .canonicalize import build_entity_map
+    snapshot = f"incremental:{batch}"
+
+    triples = io.read(spark, "triples").drop("batch")
+    mentions = io.read(spark, "mentions").drop("batch")
+    linked = io.read(spark, "linked_mentions").drop("batch")
+
+    entity_map, _ = build_entity_map(_surfaces_of(triples, mentions),
+                                     alias_dict)
+    io._manifest_path("entity_map").unlink(missing_ok=True)
+    (entity_map.withColumn("batch", F.lit(batch))
+     .write.mode("overwrite").partitionBy("batch")
+     .parquet(str(io._data_dir("entity_map"))))
+    io.write_manifest("entity_map", snapshot)
+    entity_map = io.read(spark, "entity_map").drop("batch")
+
+    nodes = (linked.join(entity_map, "surface")
+             .groupBy("entity_id")
+             .agg(F.min("surface").alias("canonical"),
+                  F.sort_array(F.collect_set("surface")).alias("aliases"),
+                  F.count(F.lit(1)).alias("n_mentions")))
+    io.commit(nodes, "nodes", snapshot)
+    io.commit(_edges_from(triples, entity_map), "edges", snapshot)

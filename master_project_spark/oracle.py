@@ -54,6 +54,21 @@ def oracle_chunks(rows: list[dict], max_tokens: int = 200,
     return out
 
 
+def oracle_verified_triples(rows: list[dict], alias_set: set[str]) -> list[dict]:
+    """Triples surviving the offline verification filter (verify_entity,
+    ent_extraction.py:344-355): obj — and subj unless it is the reserved
+    'self' — must verify against the alias vocabulary."""
+    out = []
+    for t in oracle_triples(rows):
+        if not core.verify_offline(t["obj"], t["mtype"], alias_set):
+            continue
+        if t["subj"] != core.SELF_SUBJECT and not core.verify_offline(
+                t["subj"], t["mtype"], alias_set):
+            continue
+        out.append(t)
+    return out
+
+
 def precision_recall(predicted: list[tuple], gold: list[tuple]) -> tuple[float, float]:
     pset, gset = set(predicted), set(gold)
     if not pset or not gset:

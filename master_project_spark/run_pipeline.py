@@ -31,8 +31,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--no-chunks", action="store_true")
     ap.add_argument("--incremental", action="store_true",
-                    help="process only conversations absent from the "
-                         "committed ledger and append (grown-input mode)")
+                    help="process only new/grown conversations vs the "
+                         "committed ledger and append (O(delta) mode)")
+    ap.add_argument("--with-fixpoint", action="store_true",
+                    help="run the extraction fixpoint loop stage "
+                         "(retrieval-gated extract/verify to convergence)")
+    ap.add_argument("--snapshot-token",
+                    help="external input snapshot id (e.g. Iceberg snapshot)"
+                         " — skips the full-input fingerprint scan")
     args = ap.parse_args(argv)
 
     # absolute imports: spark-submit executes this file as a top-level
@@ -64,7 +70,9 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.perf_counter()
     result = run_pipeline(spark, transcripts, args.out, alias_df(spark),
                           resume=not args.no_resume,
-                          with_chunks=not args.no_chunks)
+                          with_chunks=not args.no_chunks,
+                          with_fixpoint=args.with_fixpoint,
+                          snapshot_token=args.snapshot_token)
     wall = time.perf_counter() - t0
     n_triples = result.tables["triples"].count()
     n_turns = transcripts.count()

@@ -85,7 +85,8 @@ class TableIO:
         tmp.replace(self._manifest_path(name))  # atomic commit
         return manifest
 
-    def write_manifest(self, name: str, snapshot_id: str) -> dict:
+    def write_manifest(self, name: str, snapshot_id: str,
+                       schema: dict | None = None) -> dict:
         """(Re)write a manifest for data already on disk (e.g. after an
         append) in the same shape ``commit`` produces — per-file lineage
         from parquet footers, no Spark job."""
@@ -102,7 +103,7 @@ class TableIO:
             "n_files": len(files),
             "files": files,
             "committed_at": time.time(),
-            "schema": None,
+            "schema": schema,
         }
         tmp = self._manifest_path(name).with_suffix(".tmp")
         tmp.write_text(json.dumps(manifest, indent=1))
@@ -110,7 +111,19 @@ class TableIO:
         return manifest
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
-        return spark.read.parquet(str(self._data_dir(name)))
+        try:
+            return spark.read.parquet(str(self._data_dir(name)))
+        except Exception:
+            # a PARTITIONED write of an empty DataFrame creates no data
+            # files at all (only _SUCCESS) — schema inference fails; the
+            # manifest recorded the schema at commit time, so an empty
+            # committed table is still readable
+            from pyspark.sql import types as T
+            m = self.manifest(name)
+            if m and m.get("schema"):
+                return spark.createDataFrame(
+                    [], T.StructType.fromJson(m["schema"]))
+            raise
 
     def manifest(self, name: str) -> dict | None:
         mp = self._manifest_path(name)

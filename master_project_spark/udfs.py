@@ -163,6 +163,45 @@ def chunk_text_udf(conv_texts: pd.Series) -> pd.Series:
         lambda t: core.chunker(t or "", max_tokens=200, overlap=2))
 
 
+def stream_chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas over (conv_id, seg_idx, seg_text) rows SORTED within the
+    partition by (conv_id, seg_idx): chunks arbitrarily long conversations
+    in bounded memory by streaming segments through core.StreamingChunker
+    (live state = one in-progress chunk + the raw carry tail — never the
+    whole conversation as one row, the round-1 OOM hazard). Chunks are
+    emitted per input Arrow batch, so output memory is bounded too."""
+    state_conv: str | None = None
+    chunker: core.StreamingChunker | None = None
+    next_idx = 0
+    pending: list[tuple] = []
+
+    def flush_conv():
+        nonlocal chunker, next_idx
+        if chunker is None:
+            return
+        for c in chunker.finish():
+            pending.append((state_conv, next_idx, c))
+            next_idx += 1
+        chunker = None
+
+    for pdf in batches:
+        for conv_id, seg_text in zip(pdf["conv_id"], pdf["seg_text"]):
+            if conv_id != state_conv:
+                flush_conv()
+                state_conv = conv_id
+                chunker = core.StreamingChunker(max_tokens=200, overlap=2)
+                next_idx = 0
+            for c in chunker.feed_text(seg_text or ""):
+                pending.append((state_conv, next_idx, c))
+                next_idx += 1
+        yield pd.DataFrame(pending,
+                           columns=["conv_id", "chunk_idx", "chunk_text"])
+        pending = []
+    flush_conv()
+    yield pd.DataFrame(pending,
+                       columns=["conv_id", "chunk_idx", "chunk_text"])
+
+
 # ----------------------------------------------------------- scalar pandas
 
 @pandas_udf(T.ArrayType(T.StringType()))
@@ -201,3 +240,21 @@ def simhash_udf(texts: pd.Series) -> pd.Series:
 @pandas_udf(T.StringType())
 def canonical_key_udf(surfaces: pd.Series) -> pd.Series:
     return surfaces.map(lambda s: core.canonical_key(s or ""))
+
+
+def make_verify_udf(spark, alias_set: frozenset[str]):
+    """Factory for the offline verification flag (verify_entity,
+    ent_extraction.py:344-355, de-externalized): the alias vocabulary is
+    broadcast to executors ONCE (C4), then each (surface, mtype) batch is
+    checked via the shared-core verify_offline (substring-'y' semantics
+    analog, F17)."""
+    bc = spark.sparkContext.broadcast(alias_set)
+
+    @pandas_udf(T.BooleanType())
+    def verified_udf(surfaces: pd.Series, mtypes: pd.Series) -> pd.Series:
+        lookup = bc.value
+        return pd.Series([
+            core.verify_offline(s or "", m or "", lookup)
+            for s, m in zip(surfaces, mtypes)])
+
+    return verified_udf
