@@ -82,15 +82,44 @@ def lsh_candidate_pairs(vertices: DataFrame, max_bucket: int = 50,
     return pairs, n_dropped
 
 
+def graphframes_available() -> bool:
+    try:
+        import graphframes  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
 def connected_components(vertices: DataFrame, edges: DataFrame,
-                         max_iter: int = 50) -> DataFrame:
+                         max_iter: int = 50,
+                         use_graphframes: bool | str = "auto") -> DataFrame:
     """Iterative min-label propagation. vertices: (skey, init_label);
     edges: (ka, kb) undirected. Returns (skey, entity_label).
+
+    north_star names "GraphFrames/iterative-join connected components":
+    when the graphframes package is importable (use_graphframes='auto' or
+    True) the CC step delegates to GraphFrame.connectedComponents() and the
+    cluster label is still the lexicographic MIN init_label per component
+    (identical output either path); the dependency-free iterative join is
+    the default sandbox path.
 
     Convergence requires iterations >= cluster diameter; non-convergence
     within max_iter (a >50-hop near-dup chain) is loudly warned rather than
     silently emitting split clusters."""
     import warnings
+
+    if use_graphframes is True or (use_graphframes == "auto"
+                                   and graphframes_available()):
+        from graphframes import GraphFrame
+        g = GraphFrame(
+            vertices.select(F.col("skey").alias("id"), "init_label"),
+            edges.select(F.col("ka").alias("src"), F.col("kb").alias("dst")))
+        cc = g.connectedComponents()
+        labels = (cc.groupBy("component")
+                  .agg(F.min("init_label").alias("label"))
+                  .join(cc.select("id", "component"), "component")
+                  .select(F.col("id").alias("skey"), "label"))
+        return labels.withColumnRenamed("label", "entity_label")
 
     sym = edges.union(edges.select(F.col("kb").alias("ka"),
                                    F.col("ka").alias("kb")))

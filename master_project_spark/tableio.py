@@ -27,6 +27,71 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime jar is on the classpath AND an
+    Iceberg catalog is configured. The sandbox ships neither, so the
+    parquet+manifest fallback is the tested path; on a real cluster the
+    same TableIO surface commits true Iceberg snapshots."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog")
+    except Exception:
+        return False
+    return any(k.startswith("spark.sql.catalog.")
+               for k, _ in spark.sparkContext.getConf().getAll())
+
+
+class IcebergTableIO:
+    """Iceberg backend behind the TableIO surface (north rule: 'every stage
+    checkpoints per-partition to Iceberg'). Untestable in this sandbox (no
+    runtime jar) — the branch is thin by design: commit() replaces the
+    table atomically via writeTo(...).createOrReplace() (Iceberg's own
+    snapshot commit), the resume token rides in a table property, and
+    per-file lineage comes from the `.files` metadata table instead of
+    parquet footers."""
+
+    def __init__(self, spark: SparkSession, namespace: str):
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "Iceberg backend requested but the Iceberg Spark runtime / "
+                "catalog is not configured (set spark.sql.catalog.* and add "
+                "the iceberg-spark-runtime jar); use the parquet TableIO "
+                "fallback otherwise")
+        self.spark, self.namespace = spark, namespace
+
+    def _ident(self, name: str) -> str:
+        return f"{self.namespace}.{name}"
+
+    def is_committed(self, name: str, snapshot_id: str) -> bool:
+        try:
+            row = self.spark.sql(
+                f"SHOW TBLPROPERTIES {self._ident(name)} ('mps.snapshot')"
+            ).collect()
+        except Exception:
+            return False
+        return bool(row) and row[0]["value"] == snapshot_id
+
+    def commit(self, df, name: str, snapshot_id: str,
+               partition_by: list[str] | None = None) -> dict:
+        w = df.writeTo(self._ident(name)) \
+            .tableProperty("mps.snapshot", snapshot_id)
+        if partition_by:
+            from pyspark.sql import functions as F
+            w = w.partitionedBy(*[F.col(c) for c in partition_by])
+        w.createOrReplace()  # atomic Iceberg snapshot commit
+        files = [{"file": r["file_path"], "rows": r["record_count"]}
+                 for r in self.spark.sql(
+                     f"SELECT file_path, record_count FROM "
+                     f"{self._ident(name)}.files").collect()]
+        return {"table": name, "snapshot_id": snapshot_id,
+                "rows": sum(f["rows"] for f in files),
+                "n_files": len(files), "files": files,
+                "committed_at": time.time(), "schema": df.schema.jsonValue()}
+
+    def read(self, spark: SparkSession, name: str):
+        return spark.read.table(self._ident(name))
+
+
 class TableIO:
     def __init__(self, root: str | Path):
         self.root = Path(root)

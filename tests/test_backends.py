@@ -1,0 +1,43 @@
+"""Optional-backend seams: Iceberg TableIO branch and GraphFrames CC path
+degrade gracefully when the runtime dependencies are absent (they are in
+this sandbox), and activate behind the same interfaces when present."""
+
+import pytest
+
+from master_project_spark.canonicalize import (connected_components,
+                                               graphframes_available)
+from master_project_spark.tableio import IcebergTableIO, iceberg_available
+
+
+def test_iceberg_detection_and_explicit_error(spark):
+    """No Iceberg runtime in the sandbox: detection is False and an
+    explicit request fails loudly with guidance, never silently."""
+    assert iceberg_available(spark) is False
+    with pytest.raises(RuntimeError, match="Iceberg backend requested"):
+        IcebergTableIO(spark, "warehouse.kg")
+
+
+def test_cc_iterative_fallback_matches_forced_off(spark):
+    """use_graphframes='auto' without the package == iterative path."""
+    v = spark.createDataFrame(
+        [("a", "1a"), ("b", "1b"), ("c", "1c"), ("d", "1d")],
+        "skey string, init_label string")
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], "ka string, kb string")
+    got = {(r["skey"], r["entity_label"])
+           for r in connected_components(v, e, use_graphframes="auto").collect()}
+    want = {("a", "1a"), ("b", "1a"), ("c", "1a"), ("d", "1d")}
+    assert got == want
+
+
+@pytest.mark.skipif(not graphframes_available(),
+                    reason="graphframes not installed in this sandbox")
+def test_cc_graphframes_equals_iterative(spark):
+    v = spark.createDataFrame(
+        [("a", "1a"), ("b", "1b"), ("c", "1c"), ("d", "1d")],
+        "skey string, init_label string")
+    e = spark.createDataFrame([("a", "b"), ("c", "d")], "ka string, kb string")
+    it = sorted(map(tuple, connected_components(
+        v, e, use_graphframes=False).collect()))
+    gf = sorted(map(tuple, connected_components(
+        v, e, use_graphframes=True).collect()))
+    assert it == gf
