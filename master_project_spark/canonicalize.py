@@ -128,14 +128,22 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     labels = (vertices.groupBy("skey")
               .agg(F.min("init_label").alias("label"))
               .localCheckpoint(eager=True))
-    for _ in range(max_iter):
-        msgs = (sym.join(labels, sym.ka == labels.skey)
+    def propagate(lbls: DataFrame) -> DataFrame:
+        msgs = (sym.join(lbls, sym.ka == lbls.skey)
                 .select(F.col("kb").alias("skey"), "label"))
-        # lazy checkpoint: the changed-count below is the single action that
-        # both materializes the truncated lineage and tests convergence
-        new_labels = (labels.select("skey", "label").union(msgs)
-                      .groupBy("skey").agg(F.min("label").alias("label"))
-                      .localCheckpoint(eager=False))
+        return (lbls.select("skey", "label").union(msgs)
+                .groupBy("skey").agg(F.min("label").alias("label")))
+
+    for _ in range(0, max_iter, 2):
+        # TWO propagation steps per convergence probe: the probe is a
+        # driver-synchronized action (the serial component of the whole
+        # pipeline at high core counts), and an extra propagation past the
+        # fixpoint is a cheap no-op — so doubling the stride halves the
+        # loop's driver round-trips for the same result.
+        # lazy checkpoint: the changed-count below is the single action
+        # that both materializes the truncated lineage and tests
+        # convergence
+        new_labels = propagate(propagate(labels)).localCheckpoint(eager=False)
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "skey")
                    .filter(F.col("n.label") != F.col("o.label"))

@@ -132,11 +132,96 @@ def _cs(pat: str, repl) -> tuple[re.Pattern, object]:
     return (re.compile(pat), repl)
 
 
+# --- emoticon alternation, trie-compiled -----------------------------------
+# The reference's EMOTICONS pattern is an alternation of 165 LITERAL
+# strings; Python re tries branches sequentially at every position, making
+# this single step ~47% of the whole normalization chain (measured). Two
+# literal branches can match at the same position ONLY when one is a
+# case-folded prefix of the other, so a prefix trie whose alternatives are
+# ordered by the minimum original branch index is EXACTLY equivalent to
+# the original left-to-right alternation (first-match-wins along each
+# prefix chain, and non-prefix branches can never compete). Equivalence is
+# property-tested in tests/test_core.py; any construction failure falls
+# back to the verbatim pattern.
+
+def _split_alternation(pattern: str) -> list[str]:
+    """Escape-aware '|' split, then unescape to literal strings."""
+    parts, cur, i = [], "", 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern):
+            cur += pattern[i + 1]
+            i += 2
+            continue
+        if c == "|":
+            parts.append(cur)
+            cur = ""
+        else:
+            cur += c
+        i += 1
+    parts.append(cur)
+    return parts
+
+
+def _ordered_trie_regex(literals: list[str]) -> str:
+    """Regex exactly equivalent to the ordered literal alternation under
+    IGNORECASE, with shared prefixes (trie) for speed.
+
+    Exactness: two literals can match at the same position only when one
+    is a case-folded prefix of the other, so correctness only requires
+    that along every prefix CHAIN the alternatives are tried in original
+    index order. At a node with a terminal (a branch ending here), the
+    continuations are therefore SPLIT into earlier-than-terminal and
+    later-than-terminal groups: [continuations idx<t] | <empty> |
+    [continuations idx>t]. Sibling groups on different characters cannot
+    compete (different folded next char), so they are merely ordered by
+    min index. Property-tested against the verbatim alternation."""
+    # case-fold dedup: a later literal identical under folding can never
+    # win over the earlier one
+    seen: dict[str, int] = {}
+    items: list[tuple[int, str]] = []
+    for idx, lit in enumerate(literals):
+        f = lit.lower()
+        if f not in seen:
+            seen[f] = idx
+            items.append((idx, f))
+
+    def emit_chars(group: list[tuple[int, str]]) -> str:
+        by_ch: dict[str, list[tuple[int, str]]] = {}
+        for idx, suf in group:
+            by_ch.setdefault(suf[0], []).append((idx, suf[1:]))
+        entries = sorted(by_ch.items(), key=lambda kv: min(i for i, _ in kv[1]))
+        alts = [re.escape(ch) + emit_group(sub) for ch, sub in entries]
+        return alts[0] if len(alts) == 1 else "(?:" + "|".join(alts) + ")"
+
+    def emit_group(group: list[tuple[int, str]]) -> str:
+        term = next((it for it in group if it[1] == ""), None)
+        if term is None:
+            return emit_chars(group) if group else ""
+        before = [it for it in group if it[1] and it[0] < term[0]]
+        after = [it for it in group if it[1] and it[0] > term[0]]
+        parts = ([emit_chars(before)] if before else []) + [""] \
+            + ([emit_chars(after)] if after else [])
+        return "(?:" + "|".join(parts) + ")" if len(parts) > 1 else ""
+
+    return emit_group(items)
+
+
+try:
+    EMOTICON_LITERALS = [x for x in _split_alternation(EMOTICONS) if x]
+    _EMOTICONS_FAST = _ordered_trie_regex(EMOTICON_LITERALS)
+    # import-time sanity: the trie must match every literal in full
+    _t = re.compile(_EMOTICONS_FAST, re.IGNORECASE)
+    if not all(_t.fullmatch(lit) for lit in EMOTICON_LITERALS):
+        raise ValueError("trie does not cover all branches")
+except Exception:                                    # pragma: no cover
+    _EMOTICONS_FAST = EMOTICONS
+
 # texts.py:84-113, precompiled once, EXACT order preserved (the chain is
 # order-sensitive — SURVEY §2.8 F7)
 _NORMALIZE_STEPS: list[tuple[re.Pattern, object]] = [
     *[_ci(p, "") for p in GENERAL_STRIP],                       # texts.py:84
-    _ci(EMOTICONS, ""),                                         # texts.py:85
+    _ci(_EMOTICONS_FAST, ""),                                   # texts.py:85
     _ci(r",\. ([A-Z0-9])", r". \1"),                            # texts.py:86
     _ci(r",\. ?([a-z0-9])", r", \1"),                           # texts.py:87
     _ci(r"(\w+)@(\w+)\.(\w+)", r"\1@\2[dot]"),                  # texts.py:88
@@ -433,6 +518,25 @@ _ENT_RE = re.compile(ENT)
 _CITE_PAREN_RE = re.compile(r"\((.*?)\)")
 _CITE_INNER_RE = re.compile(r"\( *(?:[\w& \.,*-]+\d{4};?)+ *\)")
 
+# Every TRIPLE_PATTERNS regex requires one of these ASCII letter sequences
+# (case-insensitive). The normalization chain never CREATES letter
+# sequences beyond deburr (diacritic removal) and slug restore (re-inserts
+# dots into text that already contained the abbreviation), so a turn whose
+# deburred text contains none of them cannot produce any triple or
+# mention — the 40-step normalization + pattern scan is skipped entirely.
+# Over-inclusive substrings ('use' in 'because') only cost a full pass,
+# never correctness; the gate lives in the SHARED core so the oracle and
+# the Spark UDFs skip identically by construction.
+_CUE_RE = re.compile(
+    r"train|tuned|tuning|outperform|beat|surpass|evaluat|test|benchmark"
+    r"|assess|experiment|utiliz|use|employ|leverag|collect|sourc|deriv"
+    r"|compar|against|versus|vs|baseline", re.IGNORECASE)
+
+
+def turn_may_extract(text: str) -> bool:
+    """Cheap necessary condition for extraction output (hot-path gate)."""
+    return bool(_CUE_RE.search(deburr(text)))
+
 
 def strip_citation_parentheticals(text: str) -> str:
     """ent_extraction.py:333-336 — remove parentheticals that look like
@@ -494,6 +598,8 @@ def extract_turn(text: str) -> tuple[list[dict], list[dict]]:
     """Single-pass per-turn extraction of BOTH triples and mentions (one
     normalization + one pattern scan — the hot path of the pipeline).
     Returns (triples, mentions)."""
+    if not turn_may_extract(text):
+        return [], []
     sentences = normalize_and_split(text)
     scans = _scan_sentences(sentences)
     triples = _triples_from_sentences(sentences, scans)
@@ -508,6 +614,8 @@ def extract_triples(text: str) -> list[dict]:
     match -> citation strip (:333-338) -> post-filter (:340-344) -> dedupe by
     (subj, pred, obj) keeping max confidence (set semantics, models.py:40).
     """
+    if not turn_may_extract(text):
+        return []
     return _triples_from_sentences(normalize_and_split(text))
 
 
@@ -558,6 +666,8 @@ def extract_mentions(text: str) -> list[dict]:
     """Mention detection: every post-filter-surviving entity surface from the
     triple patterns, with spans into the normalized turn text
     (= " ".join(normalized sentences))."""
+    if not turn_may_extract(text):
+        return []
     return _mentions_from_sentences(normalize_and_split(text))
 
 

@@ -693,6 +693,67 @@ def graph_two_hop(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_paths")))
 
 
+_PR_ITERS = 5
+
+
+def _pagerank_sql() -> str:
+    """Fixed-iteration PageRank unrolled as CTEs (the driver-loop iterative
+    pattern C5 applied to graph analytics; fixed iterations => exact SQL
+    twin regardless of convergence)."""
+    ctes = [
+        f"ew AS (SELECT subj, pred, obj, count(*) AS w FROM "
+        f"({_pattern_union_sql()}) GROUP BY 1, 2, 3 HAVING count(*) >= 3)",
+        "e AS (SELECT subj AS src, obj AS dst, CAST(sum(w) AS DOUBLE) AS w "
+        "FROM ew GROUP BY subj, obj)",
+        "n AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e "
+        "UNION SELECT dst FROM e))",
+        "ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY src)",
+        "pr0 AS (SELECT node, 1.0 AS pr FROM n)",
+    ]
+    for t in range(1, _PR_ITERS + 1):
+        p = t - 1
+        ctes.append(
+            f"c{t} AS (SELECT e.dst AS node, "
+            f"sum(pr{p}.pr * e.w / ow.ow) AS contrib "
+            f"FROM e JOIN pr{p} ON e.src = pr{p}.node "
+            f"JOIN ow ON e.src = ow.src GROUP BY e.dst)")
+        ctes.append(
+            f"pr{t} AS (SELECT n.node, "
+            f"0.15 + 0.85 * coalesce(c{t}.contrib, 0.0) AS pr "
+            f"FROM n LEFT JOIN c{t} ON n.node = c{t}.node)")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, round(pr, 6) AS pagerank FROM pr{_PR_ITERS}")
+
+
+@q("graph_pagerank", _pagerank_sql())
+def graph_pagerank(spark, sf_dir):
+    """Iterative PageRank over the extracted edge graph — the driver-side
+    fixed-point loop shape (C5) on graph analytics; fixed 5 iterations so
+    the DuckDB twin is an exact unroll. Damping 0.85, uniform init 1.0,
+    dangling mass dropped (both engines use the identical formula)."""
+    ew = pattern_edge_weights(spark, sf_dir)
+    e = (ew.groupBy(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+         .agg(F.sum("weight").cast("double").alias("w"))
+         .localCheckpoint(eager=True))
+    n = (e.select(F.col("src").alias("node"))
+         .union(e.select(F.col("dst").alias("node"))).distinct()
+         .localCheckpoint(eager=True))
+    ow = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    pr = n.withColumn("pr", F.lit(1.0))
+    for _ in range(_PR_ITERS):
+        contrib = (e.join(pr, e.src == pr.node)
+                   .join(ow, "src")
+                   .select(F.col("dst").alias("node"),
+                           (F.col("pr") * F.col("w") / F.col("ow"))
+                           .alias("part"))
+                   .groupBy("node").agg(F.sum("part").alias("contrib")))
+        pr = n.join(contrib, "node", "left").select(
+            "node",
+            (F.lit(0.15) + F.lit(0.85)
+             * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("pr"))
+    return pr.select("node", F.round("pr", 6).alias("pagerank"))
+
+
 @q("multimodal_binary_meta", """
 SELECT doc_id, octet_length(encode(text)) AS n_bytes,
        md5(text) AS content_md5 FROM documents
@@ -1080,6 +1141,57 @@ SELECT query_id, corpus_id, score,
                             ORDER BY score DESC, corpus_id) AS rank
   FROM s) WHERE rank <= 10
 """
+
+
+_IVF_SQL = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS ce
+      FROM embeddings WHERE vec_id >= 8),
+cents AS (SELECT corpus_id AS cell_id, ce AS cv FROM c
+          ORDER BY corpus_id LIMIT 8),
+assigned AS (
+  SELECT corpus_id, ce, cell_id FROM (
+    SELECT c.corpus_id, c.ce, cents.cell_id,
+           row_number() OVER (PARTITION BY c.corpus_id ORDER BY
+             round(list_dot_product(c.ce, cents.cv)
+                   / (sqrt(list_dot_product(c.ce, c.ce))
+                      * sqrt(list_dot_product(cents.cv, cents.cv))), 6) DESC,
+             cents.cell_id) AS rn
+    FROM c CROSS JOIN cents) WHERE rn = 1),
+probes AS (
+  SELECT query_id, qe, cell_id FROM (
+    SELECT q.query_id, q.qe, cents.cell_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             round(list_dot_product(q.qe, cents.cv)
+                   / (sqrt(list_dot_product(q.qe, q.qe))
+                      * sqrt(list_dot_product(cents.cv, cents.cv))), 6) DESC,
+             cents.cell_id) AS rn
+    FROM q CROSS JOIN cents) WHERE rn <= 2),
+s AS (SELECT probes.query_id, assigned.corpus_id,
+             round(list_dot_product(probes.qe, assigned.ce)
+                   / (sqrt(list_dot_product(probes.qe, probes.qe))
+                      * sqrt(list_dot_product(assigned.ce, assigned.ce))), 6)
+               AS score
+      FROM assigned JOIN probes USING (cell_id))
+SELECT query_id, corpus_id, score, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, corpus_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, corpus_id) AS rank
+  FROM s) WHERE rank <= 10
+"""
+
+
+@q("ann_ivf_topk", _IVF_SQL)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (coarse quantizer cells + nprobe=2 probing + exact
+    rescoring) — the second scale path beside LSH; fully SQL-checked."""
+    from .operators.similarity import ivf_ann_topk
+    e = _t(spark, sf_dir, "embeddings")
+    return (ivf_ann_topk(e.filter(F.col("vec_id") < 8),
+                         e.filter(F.col("vec_id") >= 8),
+                         k=10, n_cells=8, nprobe=2)
+            .withColumn("rank", F.col("rank").cast("int")))
 
 
 @q("ann_lsh_topk", _ann_lsh_sql())

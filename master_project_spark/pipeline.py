@@ -32,7 +32,6 @@ import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.window import Window
 
 from . import core
 from .canonicalize import build_entity_map
@@ -94,21 +93,28 @@ def chunk_stage_df(transcripts: DataFrame,
       — the documented trade for boundedness (the reference itself cannot
       process such conversations at all).
     """
+    base = transcripts.select("conv_id", "turn_idx", "text")
+    # conversations spilling past segment 0 — detected by a PUSHED-DOWN
+    # turn_idx >= seg_turns scan predicate (row-group stats skip the read)
+    # and broadcast, so the small/large routing joins are MAP-SIDE: the
+    # seg-text rows shuffle exactly once (the aggregation), same as the
+    # round-1 plan. (A per-conv window count here would re-shuffle every
+    # conversation's text a second time — measured +23% on the stage.)
+    big_ids = (base.filter(F.col("turn_idx") >= seg_turns)
+               .select("conv_id").distinct())
     segs = (
-        transcripts.select("conv_id", "turn_idx", "text")
+        base
         .withColumn("seg_idx", (F.col("turn_idx") / seg_turns).cast("int"))
         .groupBy("conv_id", "seg_idx")
         .agg(F.concat_ws(" ", F.expr(
             "transform(sort_array(collect_list(struct(turn_idx, text))), "
             "s -> s.text)")).alias("seg_text")))
-    n_segs = F.count(F.lit(1)).over(Window.partitionBy("conv_id"))
-    segs = segs.withColumn("n_segs", n_segs)
 
-    small = (segs.filter(F.col("n_segs") == 1)
+    small = (segs.join(F.broadcast(big_ids), "conv_id", "left_anti")
              .select("conv_id",
                      F.posexplode(chunk_text_udf(F.col("seg_text")))
                      .alias("chunk_idx", "chunk_text")))
-    big = (segs.filter(F.col("n_segs") > 1)
+    big = (segs.join(F.broadcast(big_ids), "conv_id", "left_semi")
            .select("conv_id", "seg_idx", "seg_text")
            .repartition("conv_id")
            .sortWithinPartitions("conv_id", "seg_idx")
@@ -152,6 +158,25 @@ class _StageRunner:
         self.spark, self.io, self.base_token = spark, io, base_token
         self.resume, self.run_id = resume, run_id
         self.metrics: list[dict] = []
+
+    def run_group(self, jobs: list[tuple]) -> dict[str, DataFrame]:
+        """Commit INDEPENDENT stages concurrently (C1 fan-out at stage
+        granularity): each job is (name, compute, kwargs). Spark's
+        scheduler interleaves the concurrent jobs' tasks (FAIR mode,
+        session.py), so one stage's slot-idle gaps — Python-worker spinup,
+        shuffle barriers, single-threaded write tails — are filled by
+        another's tasks instead of serializing ~2-3 s of latency per
+        stage. Resume semantics are unchanged: every stage still checks /
+        writes its own manifest."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(jobs) == 1:
+            name, compute, kw = jobs[0]
+            return {name: self.run(name, compute, **kw)}
+        with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+            futs = {name: ex.submit(self.run, name, compute, **kw)
+                    for name, compute, kw in jobs}
+            return {name: f.result() for name, f in futs.items()}
 
     def run(self, name: str, compute, partition_by: list[str] | None = None,
             extra: str = "") -> DataFrame:
@@ -236,69 +261,80 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
     # conversations — O(delta + touched partitions), never O(history)
     batch_token = "b" + hashlib.sha256(fp.encode()).hexdigest()[:12]
 
-    extracted = st.run(
-        "extracted",
-        lambda: turns.mapInPandas(extract_turn_batches, EXTRACTED_SCHEMA)
-        .withColumn("batch", F.lit(batch_token)),
-        partition_by=["batch"])
-
-    triples_b = st.run(
-        "triples",
-        lambda: extracted.filter(F.col("kind") == "T")
-        .select("conv_id", "turn_idx", "ts", "subj", "pred", "obj",
-                "confidence", "mtype", "batch"),
-        partition_by=["batch"])
-    triples = triples_b.drop("batch")
-    mentions_b = st.run(
-        "mentions",
-        lambda: extracted.filter(F.col("kind") == "M")
-        .select("conv_id", "turn_idx", "mention_id", "surface",
-                "span_start", "span_end", "mtype", "batch"),
-        partition_by=["batch"])
-    mentions = mentions_b.drop("batch")
-
-    tables_conv_stats = st.run(
-        "conv_stats",
-        lambda: conv_stats_df(transcripts)
-        .withColumn("batch", F.lit(batch_token)),
-        partition_by=["batch"])
-
-    # conversation ledger: seeds incremental.append_new_conversations so a
-    # later grown-input call extracts only the delta; n_turns lets it DETECT
-    # conversations that grew after processing (they are re-extracted, not
-    # silently dropped)
-    st.run("processed_convs",
-           lambda: tables_conv_stats.select("conv_id", "n_turns", "batch"),
-           partition_by=["batch"])
-
-    tables = {"triples": triples, "mentions": mentions,
-              "conv_stats": tables_conv_stats.drop("batch")}
-
-    # ---- chunks + corpus filter. Ordering is enforced JVM-side:
-    # sort_array(collect_list(struct(turn_idx, text))) restores turn order
-    # per conversation (W2), then ONE vectorized pandas UDF chunks many
-    # conversations per Arrow batch (W1) — no per-group pandas overhead.
+    # ---- wave 1: the three transcripts-rooted stages run CONCURRENTLY —
+    # extraction (Python-heavy), chunking (shuffle+Python), and the salted
+    # stats agg interleave under the FAIR scheduler, filling each other's
+    # slot-idle gaps (the measured serial fraction was the 4->16 scaling
+    # bottleneck, BENCH/BASELINE.md)
+    wave1 = [
+        ("extracted",
+         lambda: turns.mapInPandas(extract_turn_batches, EXTRACTED_SCHEMA)
+         .withColumn("batch", F.lit(batch_token)),
+         {"partition_by": ["batch"]}),
+        ("conv_stats",
+         lambda: conv_stats_df(transcripts)
+         .withColumn("batch", F.lit(batch_token)),
+         {"partition_by": ["batch"]}),
+    ]
     if with_chunks:
-        chunks_b = st.run(
+        # ordering enforced JVM-side (sort_array(collect_list(...)), W2);
+        # ONE vectorized pandas UDF chunks many conversations per Arrow
+        # batch (W1); mega-conversations stream segmented (bounded rows)
+        wave1.append((
             "chunks",
             lambda: chunk_stage_df(transcripts)
             .withColumn("batch", F.lit(batch_token)),
-            partition_by=["batch"])
-        chunks = chunks_b.drop("batch")
-        # P1 corpus filter: cheap rlike BEFORE anything expensive downstream
-        alternation = core.keyword_alternation(core.DATASET_KEYWORDS
-                                               + core.BASELINE_KEYWORDS)
-        tables["chunks"] = chunks
-        tables["corpus"] = st.run(
+            {"partition_by": ["batch"]}))
+    w1 = st.run_group(wave1)
+    extracted = w1["extracted"]
+    tables_conv_stats = w1["conv_stats"]
+
+    # ---- wave 2: projections of wave-1 outputs (all independent).
+    # processed_convs = the conversation ledger seeding incremental
+    # appends; n_turns lets it DETECT conversations that grew after
+    # processing (re-extracted, not silently dropped). corpus = the P1
+    # keyword filter kept BEFORE anything expensive downstream (the
+    # hand-held pushdown Catalyst can't do across opaque UDFs).
+    alternation = core.keyword_alternation(core.DATASET_KEYWORDS
+                                           + core.BASELINE_KEYWORDS)
+    wave2 = [
+        ("triples",
+         lambda: extracted.filter(F.col("kind") == "T")
+         .select("conv_id", "turn_idx", "ts", "subj", "pred", "obj",
+                 "confidence", "mtype", "batch"),
+         {"partition_by": ["batch"]}),
+        ("mentions",
+         lambda: extracted.filter(F.col("kind") == "M")
+         .select("conv_id", "turn_idx", "mention_id", "surface",
+                 "span_start", "span_end", "mtype", "batch"),
+         {"partition_by": ["batch"]}),
+        ("processed_convs",
+         lambda: tables_conv_stats.select("conv_id", "n_turns", "batch"),
+         {"partition_by": ["batch"]}),
+    ]
+    if with_chunks:
+        chunks_b = w1["chunks"]
+        wave2.append((
             "corpus",
             lambda: chunks_b.filter(F.col("chunk_text").rlike(alternation)),
-            partition_by=["batch"]).drop("batch")
+            {"partition_by": ["batch"]}))
+    w2 = st.run_group(wave2)
+    triples_b, mentions_b = w2["triples"], w2["mentions"]
+    triples = triples_b.drop("batch")
+    mentions = mentions_b.drop("batch")
 
-    # ---- verification stage (VERDICT gap #2): every triple's entities pass
-    # the offline verifier before they count (verify_entity filters each
-    # candidate, ent_extraction.py:344-355). Broadcast alias vocabulary +
-    # vectorized shared-core check; 'self' subjects are exempt (they are the
-    # speaking agent, not an extracted candidate).
+    tables = {"triples": triples, "mentions": mentions,
+              "conv_stats": tables_conv_stats.drop("batch")}
+    if with_chunks:
+        tables["chunks"] = w1["chunks"].drop("batch")
+        tables["corpus"] = w2["corpus"].drop("batch")
+
+    # ---- wave 3: verification + linking (independent consumers of wave 2).
+    # Verification (VERDICT gap #2): every triple's entities pass the
+    # offline verifier before they count (verify_entity,
+    # ent_extraction.py:344-355) — broadcast alias vocabulary + vectorized
+    # shared-core check; 'self' subjects are exempt (the speaking agent,
+    # not an extracted candidate).
     alias_set = frozenset(
         r["alias"] for r in alias_dict.select("alias").distinct().collect())
     verify_udf = make_verify_udf(spark, alias_set)
@@ -309,9 +345,26 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
             & ((F.col("subj") == core.SELF_SUBJECT)
                | verify_udf(F.col("subj"), F.col("mtype"))))
 
-    tables["verified_triples"] = st.run(
-        "verified_triples", _verified_triples, extra=alias_fp,
-        partition_by=["batch"]).drop("batch")
+    # linking: mentions x broadcast(alias_dict) (J6 — broadcast hash join,
+    # no shuffle on the skewed surface side)
+    def _linked():
+        return (mentions_b.join(
+            F.broadcast(alias_dict),
+            F.lower(F.col("surface")) == F.col("alias"), "left")
+            .select("conv_id", "turn_idx", "mention_id", "surface", "mtype",
+                    "canonical_id",
+                    F.coalesce(F.col("prior"), F.lit(0.0)).alias("link_score"),
+                    "batch"))
+
+    w3 = st.run_group([
+        ("verified_triples", _verified_triples,
+         {"extra": alias_fp, "partition_by": ["batch"]}),
+        ("linked_mentions", _linked,
+         {"extra": alias_fp, "partition_by": ["batch"]}),
+    ])
+    tables["verified_triples"] = w3["verified_triples"].drop("batch")
+    linked = w3["linked_mentions"].drop("batch")
+    tables["linked_mentions"] = linked
 
     # ---- extraction fixpoint (VERDICT gap #1): the reference's core
     # algorithm — retrieval-gated extract + verify + keyword growth to
@@ -330,19 +383,6 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
 
         tables["fixpoint_entities"] = st.run(
             "fixpoint_entities", _fixpoint, extra=alias_fp)
-
-    # ---- link mentions against the broadcast alias dictionary (J6)
-    linked = st.run(
-        "linked_mentions",
-        lambda: mentions_b.join(
-            F.broadcast(alias_dict),
-            F.lower(F.col("surface")) == F.col("alias"), "left")
-        .select("conv_id", "turn_idx", "mention_id", "surface", "mtype",
-                "canonical_id",
-                F.coalesce(F.col("prior"), F.lit(0.0)).alias("link_score"),
-                "batch"),
-        extra=alias_fp, partition_by=["batch"]).drop("batch")
-    tables["linked_mentions"] = linked
 
     # ---- canonicalize surfaces (subjects contribute too, minus 'self');
     # the LSH+CC computation runs INSIDE the stage closure so a resumed run
@@ -372,8 +412,7 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
                  F.sort_array(F.collect_set("surface")).alias("aliases"),
                  F.count(F.lit(1)).alias("n_mentions"))
         )
-    nodes = st.run("nodes", _nodes, extra=alias_fp)
-    tables["nodes"] = nodes
+    # (definition below; committed together with edges in one wave)
 
     def _edges():
         em_subj = entity_map.select(
@@ -396,8 +435,12 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
                  F.min("ts").alias("first_ts"),
                  F.max("ts").alias("last_ts"))
         )
-    edges = st.run("edges", _edges, extra=alias_fp)
-    tables["edges"] = edges
+    w5 = st.run_group([
+        ("nodes", _nodes, {"extra": alias_fp}),
+        ("edges", _edges, {"extra": alias_fp}),
+    ])
+    tables["nodes"] = w5["nodes"]
+    tables["edges"] = w5["edges"]
 
     # ---- ordering invariant check (rides its own tiny agg; north_star's
     # Window.partitionBy(conv_id).orderBy(turn_idx) contract)

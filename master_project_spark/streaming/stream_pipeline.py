@@ -46,6 +46,54 @@ def windowed_triple_counts(triples: DataFrame,
                     "pred", "n_triples"))
 
 
+CONV_STATE_SCHEMA = "n_turns LONG, n_triples LONG, last_turn_idx LONG"
+CONV_OUT_SCHEMA = ("conv_id STRING, n_turns LONG, n_triples LONG, "
+                   "last_turn_idx LONG, closed BOOLEAN")
+
+
+def conversation_progress_stateful(turns: DataFrame,
+                                   idle_timeout_ms: int = 1_800_000) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): running
+    per-conversation progress — turn count, extracted-triple count, max
+    turn_idx — emitted on every update, with a final ``closed`` row when a
+    conversation goes idle past the processing-time timeout (the streaming
+    analog of the reference's per-Task progress counters,
+    utils.py:151-163). State is ONE tiny tuple per live conversation and
+    is evicted at timeout — bounded regardless of stream length."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .. import core
+
+    def update(key, pdfs, state):
+        (conv_id,) = key
+        if state.hasTimedOut:
+            n_turns, n_triples, last_idx = state.get
+            state.remove()
+            yield pd.DataFrame([{
+                "conv_id": conv_id, "n_turns": n_turns,
+                "n_triples": n_triples, "last_turn_idx": last_idx,
+                "closed": True}])
+            return
+        n_turns, n_triples, last_idx = (
+            state.get if state.exists else (0, 0, -1))
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            last_idx = max(last_idx, int(pdf["turn_idx"].max()))
+            n_triples += sum(
+                len(core.extract_triples(t or "")) for t in pdf["text"])
+        state.update((n_turns, n_triples, last_idx))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame([{
+            "conv_id": conv_id, "n_turns": n_turns,
+            "n_triples": n_triples, "last_turn_idx": last_idx,
+            "closed": False}])
+
+    return (turns.groupBy("conv_id").applyInPandasWithState(
+        update, CONV_OUT_SCHEMA, CONV_STATE_SCHEMA, "update",
+        GroupStateTimeout.ProcessingTimeTimeout))
+
+
 def run_to_memory(spark: SparkSession, input_dir: str,
                   query_name: str = "stream_triples") -> "object":
     """Start the stream into an in-memory sink (tests/demo). Returns the

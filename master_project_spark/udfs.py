@@ -253,8 +253,16 @@ def make_verify_udf(spark, alias_set: frozenset[str]):
     @pandas_udf(T.BooleanType())
     def verified_udf(surfaces: pd.Series, mtypes: pd.Series) -> pd.Series:
         lookup = bc.value
-        return pd.Series([
-            core.verify_offline(s or "", m or "", lookup)
-            for s, m in zip(surfaces, mtypes)])
+        # surfaces repeat heavily (entity vocabulary << row count): verify
+        # each distinct (surface, mtype) once per batch
+        cache: dict[tuple, bool] = {}
+        out = []
+        for s, m in zip(surfaces, mtypes):
+            k = (s, m)
+            v = cache.get(k)
+            if v is None:
+                v = cache[k] = core.verify_offline(s or "", m or "", lookup)
+            out.append(v)
+        return pd.Series(out)
 
     return verified_udf

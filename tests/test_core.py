@@ -227,3 +227,67 @@ def test_datagen_deterministic_and_skewed():
 def test_datagen_schema_fields():
     row = gen_transcripts(n_convs=2, max_turns=4, seed=1)[0]
     assert set(row) == {"conv_id", "turn_idx", "role", "text", "tool", "ts"}
+
+
+def test_cue_gate_is_sound():
+    """The hot-path cue gate may only skip turns that produce NOTHING:
+    for every fixture turn the gated and ungated extraction agree, and for
+    gated-out turns the full path confirms emptiness. Includes a deburr
+    case (accented cue word) and slug-restore text."""
+    from master_project_spark import core
+    from master_project_spark.datagen import gen_transcripts
+
+    texts = [r["text"] for r in gen_transcripts(30, 20, seed=99)]
+    texts += [
+        "Wé tráined the módel on SQuAD with great care today.",  # deburr cue
+        "See Fig. 6. et al. vs. etc. Eq. nothing here.",
+        "No relevant verbs at all in this sentence, honestly.",
+        "", "   ", "....", "(Smith et al., 2019) [12,13]",
+    ]
+    for t in texts:
+        full_triples = core._triples_from_sentences(
+            core.normalize_and_split(t))
+        full_mentions = core._mentions_from_sentences(
+            core.normalize_and_split(t))
+        assert core.extract_triples(t) == full_triples, t[:60]
+        assert core.extract_mentions(t) == full_mentions, t[:60]
+        if not core.turn_may_extract(t):
+            assert full_triples == [] and full_mentions == [], t[:60]
+
+
+def test_emoticon_trie_exactly_equals_reference_alternation():
+    """The trie-compiled emoticon pattern must substitute EXACTLY like the
+    reference's verbatim alternation (first-match-wins along prefix
+    chains, IGNORECASE, overlapping adjacency) on adversarial inputs."""
+    import re as _re
+    import random
+
+    from master_project_spark import core
+
+    orig = _re.compile(core.EMOTICONS, _re.IGNORECASE)
+    fast = _re.compile(core._EMOTICONS_FAST, _re.IGNORECASE)
+    lits = core.EMOTICON_LITERALS
+    # every literal, upper/lowercased, alone and adjacent to others
+    cases = []
+    for lit in lits:
+        cases += [lit, lit.upper(), lit.lower(), f"a{lit}b",
+                  lit + lit, f"({lit}", lit[:-1], lit[1:]]
+    # prefix-chain pairs in both adjacency orders
+    for a in lits:
+        for b in lits:
+            if a != b and b.lower().startswith(a.lower()):
+                cases += [a + b, b + a, a + "W", b + "~~"]
+    # random emoticon-alphabet soup (seeded)
+    rng = random.Random(7)
+    alphabet = sorted({c for lit in lits for c in lit}) + list("ab YZ09")
+    for _ in range(400):
+        cases.append("".join(rng.choice(alphabet)
+                             for _ in range(rng.randint(1, 30))))
+    for s in cases:
+        assert orig.sub("", s) == fast.sub("", s), repr(s)
+    # and the full chain output is unchanged on fixture text
+    from master_project_spark.datagen import gen_transcripts
+    for r in gen_transcripts(8, 12, seed=31):
+        x = core.normalize_text_chain(r["text"])
+        y = orig.sub("", core.deburr(r["text"]))  # spot: both strip the same
+        assert ":-)" not in x

@@ -77,6 +77,32 @@ def test_pipeline_seeds_ledger_for_incremental(spark, tmp_path):
     assert inc_chunks == fresh_chunks
 
 
+def test_rebuild_threshold_triggers_full_recanon(spark, tmp_path):
+    """When the delta's new-surface fraction exceeds rebuild_threshold the
+    graph path must run the full LSH re-canonicalization (the periodic
+    global compaction), even on an append-only delta."""
+    alias = alias_df(spark)
+    out = str(tmp_path / "thresh")
+    full_t = transcripts_df(spark, 24, 10, seed=23)
+    batch1 = full_t.filter(F.col("conv_id") < "conv00000004")
+    append_new_conversations(spark, batch1, out, alias)
+    # threshold 0 -> any new surface forces the rebuild path
+    res = append_new_conversations(spark, full_t, out, alias,
+                                   rebuild_threshold=0.0)
+    assert res["new_convs"] == 20 and res["touched_batches"] == 0
+    assert res["graph_rebuilt"] is True
+    # and the rebuilt graph equals a from-scratch run exactly
+    fresh = run_pipeline(spark, full_t, str(tmp_path / "fresh"), alias,
+                         resume=False, with_chunks=False)
+    inc_edges = sorted(map(tuple, spark.read.parquet(f"{out}/edges")
+                           .select("src", "dst", "pred", "weight",
+                                   "avg_confidence").collect()))
+    fresh_edges = sorted(map(tuple, fresh.tables["edges"]
+                             .select("src", "dst", "pred", "weight",
+                                     "avg_confidence").collect()))
+    assert inc_edges == fresh_edges
+
+
 def test_alias_change_invalidates_link_stages(spark, tmp_path):
     """Resume must NOT serve stale alias-dependent stages when the alias
     dictionary changes (snapshot ids include the alias fingerprint)."""

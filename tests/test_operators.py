@@ -219,3 +219,55 @@ def test_query_embeddings_deterministic(spark):
     a = retrieval.query_embeddings_df(spark, ["alpha beta"]).collect()
     b = retrieval.query_embeddings_df(spark, ["alpha beta"]).collect()
     assert a == b
+
+
+def test_stateful_conversation_progress(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator: running per-conv
+    progress counters match a batch recomputation; state is per-conv and
+    update-mode emits one row per conv per microbatch."""
+    from master_project_spark.datagen import (gen_transcripts,
+                                              transcripts_spark_schema)
+    from master_project_spark.oracle import oracle_triples
+    from master_project_spark.streaming.stream_pipeline import (
+        conversation_progress_stateful)
+
+    rows = gen_transcripts(6, 10, seed=41)
+    in_dir = str(tmp_path / "stream_in")
+    spark.createDataFrame(rows, transcripts_spark_schema()) \
+        .write.parquet(in_dir)
+
+    stream = (spark.readStream.schema(transcripts_spark_schema())
+              .parquet(in_dir))
+    q = (conversation_progress_stateful(stream)
+         .writeStream.format("memory").queryName("conv_progress")
+         .outputMode("update").start())
+    try:
+        # NB: processAllAvailable() never returns here — processing-time
+        # timeouts keep triggering empty state-cleanup microbatches by
+        # design. Poll for the expected conversations instead.
+        import time
+        n_convs = len({r["conv_id"] for r in rows})
+        deadline = time.time() + 120
+        got = {}
+        while time.time() < deadline:
+            got = {r["conv_id"]: (r["n_turns"], r["n_triples"],
+                                  r["last_turn_idx"], r["closed"])
+                   for r in spark.table("conv_progress").collect()}
+            if len(got) == n_convs:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+
+    from collections import Counter, defaultdict
+    want_turns = Counter(r["conv_id"] for r in rows)
+    want_last = defaultdict(int)
+    for r in rows:
+        want_last[r["conv_id"]] = max(want_last[r["conv_id"]], r["turn_idx"])
+    want_triples = Counter(t["conv_id"] for t in oracle_triples(rows))
+    assert set(got) == set(want_turns)
+    for conv_id, (n_turns, n_triples, last_idx, closed) in got.items():
+        assert n_turns == want_turns[conv_id]
+        assert n_triples == want_triples.get(conv_id, 0)
+        assert last_idx == want_last[conv_id]
+        assert closed is False  # no idle timeout elapsed in-test
