@@ -342,12 +342,20 @@ class StreamingChunker:
     Boundary handling: each segment is normalized, sentence-split, and the
     UNTERMINATED remainder (already normalized) is prepended to the next
     segment before ITS normalization — so sentences and normalization rules
-    that span a segment boundary behave as in whole-text processing. The
-    residual assumption is that the normalization chain is idempotent on
-    its own output for the short remainder fragment (holds for the rule
-    set: slugs contain no '.', cleaned whitespace stays cleaned); texts for
-    which it does not hold chunk with boundary-local differences — the
-    documented trade for boundedness.
+    that span a segment boundary behave as in whole-text processing. Two
+    documented residual divergences (the trade for boundedness; both
+    pinned in tests/test_chunker_scale.py):
+    - the chain must be idempotent on its own output for the short
+      remainder fragment (holds for this rule set: slugs contain no '.',
+      cleaned whitespace stays cleaned);
+    - the reference's quote/bracket PAIRING rules (texts.py:89,105-109)
+      bind an opener to a closer arbitrarily far ahead in the WHOLE text —
+      unbounded lookahead that no bounded streaming cut can reproduce, so
+      a pair straddling a segment cut normalizes segment-locally instead;
+    - punctuation RUNS assembled across a cut (e.g. '.' + '..' forming the
+      '...' the ellipsis rule rewrites, texts.py:91-93) normalize
+      per-segment (measured 1/500 adversarial random-soup trials; zero on
+      sentence-shaped text).
 
     Quirk parity with group_sentences:
     - a chunk closes only once the running count REACHED max_tokens
@@ -365,6 +373,8 @@ class StreamingChunker:
         self.chunk: list[str] = []
         self.tokens = 0
         self.carry = ""               # normalized unterminated remainder
+        self._started = False         # a join-space precedes every feed > 1
+        self._lead = False            # a sentence terminator was consumed
         self._dropped_first = overlap < 1  # nothing to drop when overlap=0
 
     def _emit(self, out: list[str]) -> None:
@@ -374,9 +384,34 @@ class StreamingChunker:
         out.append(" ".join(self.chunk))
 
     def feed_text(self, raw_text: str) -> list[str]:
-        """Feed the next raw segment; returns chunks completed so far."""
-        text = (self.carry + " " + raw_text) if self.carry else raw_text
+        """Feed the next raw segment; returns chunks completed so far.
+
+        Segments are pieces of a whole-conversation text joined by single
+        spaces, so every feed after the first re-inserts the join space
+        even when the carry is empty, AND the space is restored after
+        normalization: clean() trims leading whitespace, but in whole-text
+        mode this position is mid-string (right after the last consumed
+        terminator), where that space survives — and the reference's
+        sentence regex counts it as an (empty) token in the <4-word filter
+        (texts.py:115). Both space bugs were hypothesis-caught."""
+        text = self.carry + (" " if self._started else "") + raw_text
+        # the restored lead = the stitch region's true first char in
+        # whole-text mode: the carry's own leading space when it has one,
+        # else the inter-segment join space — but only once the region is
+        # mid-string (some sentence already consumed); at text start
+        # whole-text clean() trims exactly like we do
+        lead = ""
+        if self._lead:
+            if self.carry:
+                lead = " " if self.carry.startswith(" ") else ""
+            else:
+                lead = " "
+        self._started = True
         x = normalize_text_chain(text)
+        if lead and not x.startswith(" "):
+            x = lead + x
+        if _SENTENCE_RE.search(x):
+            self._lead = True
         sentences, self.carry = split_normalized(x)
         if len(self.carry) > MAX_CARRY_CHARS:
             # terminator-free megarun: force-close so memory stays bounded

@@ -501,6 +501,60 @@ def quality_score(spark, sf_dir):
                 .alias("chars_per_token")))
 
 
+# GPT-2-style pretokenizer shape, RE2-safe (no lookahead) so Java and
+# DuckDB regex engines agree: contractions, space-prefixed letter/digit
+# runs, punctuation runs, whitespace runs
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+@q("bpe_token_stats", f"""
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+|\\s+',
+           0)) AS n_bpe_tokens,
+       len(regexp_extract_all(text, '\\S+', 0)) AS n_ws_tokens
+FROM documents
+""")
+def bpe_token_stats(spark, sf_dir):
+    """Token counting, training-data-pipeline op: whitespace tokens + a
+    BPE-ish pretokenizer regex (GPT-2 pattern shape, RE2-safe subset)."""
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.size(F.regexp_extract_all("text", F.lit(_BPE_RE),
+                                                F.lit(0)))
+                    .alias("n_bpe_tokens"),
+                    F.size(F.regexp_extract_all("text", F.lit(r"\S+"),
+                                                F.lit(0)))
+                    .alias("n_ws_tokens")))
+
+
+@q("rolling_hash_fingerprint", f"""
+SELECT doc_id,
+       CASE WHEN len(vs) = 0 THEN 0
+            ELSE list_reduce(vs, (a, x) -> (a * 31 + x) % 2147483647)
+       END AS fp
+FROM (SELECT doc_id,
+             list_transform(regexp_extract_all(text, '{TOKEN_RE}', 0),
+                            t -> CAST(length(t) + ascii(t) * 131 AS BIGINT))
+               AS vs
+      FROM documents)
+""")
+def rolling_hash_fingerprint(spark, sf_dir):
+    """Document fingerprinting via a left-fold polynomial rolling hash over
+    the token stream (Rabin-Karp shape), pure integer arithmetic mod
+    2^31-1 so both engines are bit-exact. Entirely JVM-side in Spark
+    (transform + aggregate lambdas — no Python)."""
+    vs = (f"transform(regexp_extract_all(text, '{TOKEN_RE}', 0), "
+          f"t -> cast(length(t) + ascii(t) * 131 as bigint))")
+    # left-fold with first-element init == DuckDB list_reduce semantics
+    fp = (f"case when size({vs}) = 0 then 0L else "
+          f"aggregate(slice({vs}, 2, greatest(size({vs}) - 1, 0)), "
+          f"element_at({vs}, 1), "
+          f"(a, x) -> pmod(a * 31 + x, 2147483647L)) end")
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", F.expr(fp).alias("fp")))
+
+
 @q("bow_dedup_groups", f"""
 SELECT fp, count(*) AS n_docs, min(doc_id) AS min_doc_id FROM (
   SELECT doc_id,

@@ -224,3 +224,39 @@ def test_append_touches_only_delta_partitions(spark, tmp_path):
                              .select("entity_id", "canonical", "n_mentions")
                              .collect()))
     assert inc_nodes == fresh_nodes
+
+
+def test_crash_retry_between_extract_and_ledger_is_idempotent(spark, tmp_path):
+    """Crash window: extracted rewritten but the ledger not yet updated.
+    The retry recomputes the SAME deterministic batch id and the dynamic
+    partition overwrite replaces (not appends) the half-committed batch —
+    no duplicates, final state equals a clean run."""
+    import shutil
+    from pathlib import Path
+
+    alias = alias_df(spark)
+    out = str(tmp_path / "crash")
+    full_t = transcripts_df(spark, 16, 10, seed=29)
+    batch1 = full_t.filter(F.col("conv_id") < "conv00000008")
+    append_new_conversations(spark, batch1, out, alias)
+
+    # full append (writes extracted batch 2 + ledger batch 2) ...
+    res1 = append_new_conversations(spark, full_t, out, alias)
+    # ... then simulate the crash having happened BEFORE the ledger write:
+    # roll the ledger back to batch-1-only state
+    led_dir = Path(out) / "processed_convs"
+    for d in led_dir.glob(f"batch={res1['batch']}"):
+        shutil.rmtree(d)
+    # retry: sees the same 8 convs as unprocessed, recomputes the SAME
+    # batch id, overwrites the same partitions
+    res2 = append_new_conversations(spark, full_t, out, alias)
+    assert res2["batch"] == res1["batch"]
+    assert res2["new_convs"] == 8
+
+    t = spark.read.parquet(f"{out}/triples")
+    dup = (t.groupBy("conv_id", "turn_idx", "subj", "pred", "obj")
+           .count().filter("count > 1").count())
+    assert dup == 0
+    fresh = run_pipeline(spark, full_t, str(tmp_path / "fresh"), alias,
+                         resume=False, with_chunks=False)
+    assert _triples(t) == _triples(fresh.tables["triples"])
