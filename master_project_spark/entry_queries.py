@@ -747,6 +747,56 @@ def graph_two_hop(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_paths")))
 
 
+_CC_ITERS = 8
+
+
+def _cc_sql() -> str:
+    """Min-label propagation unrolled (the canonicalization CC loop's
+    algorithm, canonicalize.py, as a SQL-checkable query; fixed iterations
+    >= graph diameter at test scale => exact equality either way)."""
+    ctes = [
+        f"ew AS (SELECT subj, pred, obj, count(*) AS w FROM "
+        f"({_pattern_union_sql()}) GROUP BY 1, 2, 3 HAVING count(*) >= 3)",
+        "e0 AS (SELECT DISTINCT subj AS a, obj AS b FROM ew)",
+        "sym AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0)",
+        "l0 AS (SELECT node, node AS label FROM "
+        "(SELECT DISTINCT a AS node FROM sym))",
+    ]
+    for t in range(1, _CC_ITERS + 1):
+        p = t - 1
+        ctes.append(
+            f"l{t} AS (SELECT node, min(label) AS label FROM ("
+            f"SELECT node, label FROM l{p} UNION ALL "
+            f"SELECT sym.b AS node, l{p}.label FROM sym "
+            f"JOIN l{p} ON sym.a = l{p}.node) GROUP BY node)")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, label AS component FROM l{_CC_ITERS}")
+
+
+@q("graph_components", _cc_sql())
+def graph_components(spark, sf_dir):
+    """Connected components over the extracted edge graph — the
+    canonicalization loop's min-label propagation (north_star's
+    'GraphFrames/iterative-join connected components'), fixed iterations
+    so the DuckDB twin is an exact unroll. Deterministic labels
+    (lexicographic min node id per component)."""
+    e = (pattern_edge_weights(spark, sf_dir)
+         .select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+         .distinct())
+    sym = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+           .distinct().localCheckpoint(eager=True))
+    labels = (sym.select(F.col("a").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for i in range(_CC_ITERS):
+        msgs = (sym.join(labels, sym.a == labels.node)
+                .select(F.col("b").alias("node"), "label"))
+        labels = (labels.unionByName(msgs)
+                  .groupBy("node").agg(F.min("label").alias("label")))
+        if i % 3 == 2:   # lineage truncation on the driver loop (C5)
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select("node", F.col("label").alias("component"))
+
+
 _PR_ITERS = 5
 
 
