@@ -23,6 +23,12 @@ Design (round-2 rework per VERDICT #2 / ADVICE):
   a crash-retry recomputes the SAME batch and the dynamic overwrite is
   idempotent — no duplicate rows can survive a retry (the round-1 design
   needed a full-table dropDuplicates for this; gone).
+- The ledger commits LAST (round-3 fix, ADVICE high): every other table —
+  graph merge included — is either idempotent under the deterministic
+  batch id or guarded by a per-table snapshot check, so a kill anywhere
+  leaves the retry able to redo exactly the missing work. The ledger is
+  the one commit that makes the next call see an empty delta, so it must
+  be the commit point of the whole append.
 - Graph tables (entity_map / nodes / edges) merge incrementally on the
   append-only path: new surfaces get exact-match assignment (alias-dict
   hit, else exact canonical-key hit, else a fresh singleton entity) and the
@@ -227,13 +233,23 @@ def append_new_conversations(spark: SparkSession, transcripts: DataFrame,
     if io.manifest("conv_stats") is not None:
         rewrite("conv_stats", conv_stats_df(delta_transcripts)
                 .withColumn("batch", F.lit(batch)))
-    rewrite(LEDGER, todo.select(
-        "conv_id", F.col("cur_n").alias("n_turns"),
-        F.lit(batch).alias("batch")))
 
     # ---- graph tables: incremental merge, or full re-canonicalization
     rebuilt = _merge_graph(spark, io, alias_dict, batch, touched,
                            rebuild_threshold)
+
+    # ---- ledger LAST (crash contract): the ledger is what makes the next
+    # call see an empty delta, so it must only commit once every sibling
+    # table INCLUDING the graph is consistent. A kill anywhere above leaves
+    # the old ledger in place; the retry recomputes the same deterministic
+    # batch and every rewrite above is an idempotent partition overwrite
+    # (the graph merge is retry-safe via per-table snapshot guards in
+    # _merge_graph). Committing the ledger before the graph merge — the
+    # round-2 ordering — left a window where a kill made the retry compute
+    # an empty delta and return, silently stranding the graph tables stale.
+    rewrite(LEDGER, todo.select(
+        "conv_id", F.col("cur_n").alias("n_turns"),
+        F.lit(batch).alias("batch")))
 
     metrics = {
         "batch": batch, "new_convs": n_new, "grown_convs": n_grown,
@@ -265,8 +281,31 @@ def _surfaces_of(triples: DataFrame, mentions: DataFrame) -> DataFrame:
 def _merge_graph(spark: SparkSession, io: TableIO, alias_dict: DataFrame,
                  batch: str, touched: list[str],
                  rebuild_threshold: float) -> bool:
-    """Returns True when a full re-canonicalization ran."""
-    have_graph = io.manifest("entity_map") is not None
+    """Returns True when a full re-canonicalization ran.
+
+    Retry safety (the ledger commits AFTER this step): when a killed run is
+    retried with the same deterministic batch id,
+
+    - nodes+edges already at ``incremental:{batch}`` => the graph step
+      completed before the kill; skip it entirely (a second algebraic merge
+      would double-count). The returned flag is False on this path even if
+      the completed attempt was a rebuild — a metrics nuance only.
+    - any graph manifest MISSING => a kill landed mid-overwrite and the
+      table bytes are untrustworthy; heal via _rebuild_graph_full, which
+      recomputes nodes/edges from the committed triples/mentions/linked
+      tables and never reads the damaged ones.
+    - nodes at batch but edges not (kill between the two commits): the
+      incremental path's per-table guards skip the done one and merge the
+      other from its still-consistent pre-state.
+    """
+    snapshot = f"incremental:{batch}"
+    m_nodes, m_edges = io.manifest("nodes"), io.manifest("edges")
+    if (m_nodes is not None and m_nodes.get("snapshot_id") == snapshot
+            and m_edges is not None
+            and m_edges.get("snapshot_id") == snapshot):
+        return False
+    have_graph = all(io.manifest(t) is not None
+                     for t in ("entity_map", "nodes", "edges"))
     delta_triples = io.read(spark, "triples").filter(F.col("batch") == batch)
     delta_mentions = io.read(spark, "mentions").filter(
         F.col("batch") == batch)
@@ -317,52 +356,62 @@ def _incremental_graph_merge(spark, io, alias_dict, batch,
     em_full = io.read(spark, "entity_map").drop("batch") \
         .localCheckpoint(eager=True)
 
+    def _done(table: str) -> bool:
+        """Per-table retry guard: a table already committed at this batch's
+        snapshot was merged by a killed prior attempt — merging again would
+        double-count its algebraic aggregates."""
+        m = io.manifest(table)
+        return m is not None and m.get("snapshot_id") == snapshot
+
     # 2) nodes: aggregate the DELTA linked mentions, merge algebraically
-    delta_linked = io.read(spark, "linked_mentions").filter(
-        F.col("batch") == batch)
-    new_nodes = (delta_linked.join(em_full, "surface")
-                 .groupBy("entity_id")
-                 .agg(F.min("surface").alias("canonical"),
-                      F.sort_array(F.collect_set("surface")).alias("aliases"),
-                      F.count(F.lit(1)).alias("n_mentions")))
-    old_nodes = io.read(spark, "nodes")
-    merged_nodes = (
-        old_nodes.alias("o").join(new_nodes.alias("n"), "entity_id",
-                                  "full_outer")
-        .select(
-            "entity_id",
-            F.least("o.canonical", "n.canonical").alias("canonical"),
-            F.sort_array(F.array_distinct(F.concat(
-                F.coalesce(F.col("o.aliases"),
-                           F.expr("cast(array() as array<string>)")),
-                F.coalesce(F.col("n.aliases"),
-                           F.expr("cast(array() as array<string>)")))))
-            .alias("aliases"),
-            (F.coalesce("o.n_mentions", F.lit(0))
-             + F.coalesce("n.n_mentions", F.lit(0))).alias("n_mentions"))
-        .localCheckpoint(eager=True))
-    io.commit(merged_nodes, "nodes", snapshot)
+    if not _done("nodes"):
+        delta_linked = io.read(spark, "linked_mentions").filter(
+            F.col("batch") == batch)
+        new_nodes = (delta_linked.join(em_full, "surface")
+                     .groupBy("entity_id")
+                     .agg(F.min("surface").alias("canonical"),
+                          F.sort_array(F.collect_set("surface"))
+                          .alias("aliases"),
+                          F.count(F.lit(1)).alias("n_mentions")))
+        old_nodes = io.read(spark, "nodes")
+        merged_nodes = (
+            old_nodes.alias("o").join(new_nodes.alias("n"), "entity_id",
+                                      "full_outer")
+            .select(
+                "entity_id",
+                F.least("o.canonical", "n.canonical").alias("canonical"),
+                F.sort_array(F.array_distinct(F.concat(
+                    F.coalesce(F.col("o.aliases"),
+                               F.expr("cast(array() as array<string>)")),
+                    F.coalesce(F.col("n.aliases"),
+                               F.expr("cast(array() as array<string>)")))))
+                .alias("aliases"),
+                (F.coalesce("o.n_mentions", F.lit(0))
+                 + F.coalesce("n.n_mentions", F.lit(0))).alias("n_mentions"))
+            .localCheckpoint(eager=True))
+        io.commit(merged_nodes, "nodes", snapshot)
 
     # 3) edges: aggregate delta triples through the CURRENT entity map,
     # merge algebraically (weight/sum/min/max are mergeable; the stored
     # 6-dp avg_confidence merges weighted, drift <= 5e-7 per merge)
-    new_edges = _edges_from(delta_triples.drop("batch"), em_full)
-    old_edges = io.read(spark, "edges")
-    w_o = F.coalesce("o.weight", F.lit(0))
-    w_n = F.coalesce("n.weight", F.lit(0))
-    merged_edges = (
-        old_edges.alias("o").join(new_edges.alias("n"),
-                                  ["src", "dst", "pred"], "full_outer")
-        .select(
-            "src", "dst", "pred",
-            (w_o + w_n).alias("weight"),
-            F.round((w_o * F.coalesce("o.avg_confidence", F.lit(0.0))
-                     + w_n * F.coalesce("n.avg_confidence", F.lit(0.0)))
-                    / (w_o + w_n), 6).alias("avg_confidence"),
-            F.least("o.first_ts", "n.first_ts").alias("first_ts"),
-            F.greatest("o.last_ts", "n.last_ts").alias("last_ts"))
-        .localCheckpoint(eager=True))
-    io.commit(merged_edges, "edges", snapshot)
+    if not _done("edges"):
+        new_edges = _edges_from(delta_triples.drop("batch"), em_full)
+        old_edges = io.read(spark, "edges")
+        w_o = F.coalesce("o.weight", F.lit(0))
+        w_n = F.coalesce("n.weight", F.lit(0))
+        merged_edges = (
+            old_edges.alias("o").join(new_edges.alias("n"),
+                                      ["src", "dst", "pred"], "full_outer")
+            .select(
+                "src", "dst", "pred",
+                (w_o + w_n).alias("weight"),
+                F.round((w_o * F.coalesce("o.avg_confidence", F.lit(0.0))
+                         + w_n * F.coalesce("n.avg_confidence", F.lit(0.0)))
+                        / (w_o + w_n), 6).alias("avg_confidence"),
+                F.least("o.first_ts", "n.first_ts").alias("first_ts"),
+                F.greatest("o.last_ts", "n.last_ts").alias("last_ts"))
+            .localCheckpoint(eager=True))
+        io.commit(merged_edges, "edges", snapshot)
 
 
 def _edges_from(triples: DataFrame, entity_map: DataFrame) -> DataFrame:

@@ -260,3 +260,104 @@ def test_crash_retry_between_extract_and_ledger_is_idempotent(spark, tmp_path):
     fresh = run_pipeline(spark, full_t, str(tmp_path / "fresh"), alias,
                          resume=False, with_chunks=False)
     assert _triples(t) == _triples(fresh.tables["triples"])
+    # graph tables must NOT be double-merged by the retry (per-table
+    # snapshot guards): n_mentions / weight exactly equal from-scratch
+    inc_nodes = sorted(map(tuple, spark.read.parquet(f"{out}/nodes")
+                           .select("entity_id", "n_mentions").collect()))
+    fresh_nodes = sorted(map(tuple, fresh.tables["nodes"]
+                             .select("entity_id", "n_mentions").collect()))
+    assert inc_nodes == fresh_nodes
+    inc_edges = sorted(map(tuple, spark.read.parquet(f"{out}/edges")
+                           .select("src", "dst", "pred", "weight").collect()))
+    fresh_edges = sorted(map(tuple, fresh.tables["edges"]
+                             .select("src", "dst", "pred", "weight").collect()))
+    assert inc_edges == fresh_edges
+
+
+def test_crash_before_graph_merge_heals_on_retry(spark, tmp_path, monkeypatch):
+    """ADVICE (high, round 3): a kill AFTER the per-conversation tables but
+    BEFORE the graph merge must not strand the graph stale. The ledger now
+    commits LAST, so the retry sees the delta again, redoes the idempotent
+    table overwrites, and runs the graph merge exactly once."""
+    import pytest
+
+    import master_project_spark.incremental as inc
+
+    alias = alias_df(spark)
+    out = str(tmp_path / "crash_graph")
+    full_t = transcripts_df(spark, 16, 10, seed=31)
+    batch1 = full_t.filter(F.col("conv_id") < "conv00000008")
+    append_new_conversations(spark, batch1, out, alias)
+    nodes_before = sorted(map(tuple, spark.read.parquet(f"{out}/nodes")
+                              .select("entity_id", "n_mentions").collect()))
+
+    real_merge = inc._merge_graph
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated kill before graph merge")
+
+    monkeypatch.setattr(inc, "_merge_graph", boom)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        append_new_conversations(spark, full_t, out, alias)
+    monkeypatch.setattr(inc, "_merge_graph", real_merge)
+
+    # the ledger must NOT have advanced (it commits last) ...
+    ledger = spark.read.parquet(f"{out}/processed_convs")
+    assert ledger.count() == 8
+    # ... and the graph is the untouched batch-1 state, not half-merged
+    nodes_mid = sorted(map(tuple, spark.read.parquet(f"{out}/nodes")
+                           .select("entity_id", "n_mentions").collect()))
+    assert nodes_mid == nodes_before
+
+    # retry completes the append; everything equals a from-scratch run
+    res = append_new_conversations(spark, full_t, out, alias)
+    assert res["new_convs"] == 8
+    fresh = run_pipeline(spark, full_t, str(tmp_path / "fresh"), alias,
+                         resume=False, with_chunks=False)
+    assert _triples(spark.read.parquet(f"{out}/triples")) == \
+        _triples(fresh.tables["triples"])
+    inc_nodes = sorted(map(tuple, spark.read.parquet(f"{out}/nodes")
+                           .select("entity_id", "n_mentions").collect()))
+    fresh_nodes = sorted(map(tuple, fresh.tables["nodes"]
+                             .select("entity_id", "n_mentions").collect()))
+    assert inc_nodes == fresh_nodes
+    inc_edges = sorted(map(tuple, spark.read.parquet(f"{out}/edges")
+                           .select("src", "dst", "pred", "weight").collect()))
+    fresh_edges = sorted(map(tuple, fresh.tables["edges"]
+                             .select("src", "dst", "pred", "weight").collect()))
+    assert inc_edges == fresh_edges
+
+
+def test_crash_mid_graph_overwrite_heals_via_rebuild(spark, tmp_path):
+    """A kill mid nodes-overwrite leaves the nodes manifest deleted and the
+    data untrustworthy. The retry must detect the missing manifest and heal
+    via the full graph rebuild (which never reads the damaged table)."""
+    alias = alias_df(spark)
+    out = str(tmp_path / "crash_mid")
+    full_t = transcripts_df(spark, 16, 10, seed=37)
+    batch1 = full_t.filter(F.col("conv_id") < "conv00000008")
+    append_new_conversations(spark, batch1, out, alias)
+
+    res1 = append_new_conversations(spark, full_t, out, alias)
+    # simulate the kill: ledger not yet written for batch 2, nodes manifest
+    # deleted mid-overwrite (data may be garbage — blow it away entirely to
+    # make any read of it fail loudly)
+    import shutil
+    from pathlib import Path
+    for d in (Path(out) / "processed_convs").glob(f"batch={res1['batch']}"):
+        shutil.rmtree(d)
+    (Path(out) / "nodes._manifest.json").unlink()
+    shutil.rmtree(Path(out) / "nodes")
+
+    res2 = append_new_conversations(spark, full_t, out, alias)
+    assert res2["batch"] == res1["batch"]
+    assert res2["graph_rebuilt"] is True   # healed via full rebuild
+    fresh = run_pipeline(spark, full_t, str(tmp_path / "fresh"), alias,
+                         resume=False, with_chunks=False)
+    inc_nodes = sorted(map(tuple, spark.read.parquet(f"{out}/nodes")
+                           .select("entity_id", "canonical", "n_mentions")
+                           .collect()))
+    fresh_nodes = sorted(map(tuple, fresh.tables["nodes"]
+                             .select("entity_id", "canonical", "n_mentions")
+                             .collect()))
+    assert inc_nodes == fresh_nodes
