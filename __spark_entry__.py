@@ -37,6 +37,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (omitted for the pandas-UDF-only
-    entries kg_pipeline_triples / simhash_documents -> rows-only check)."""
+    """DuckDB-equivalent SQL per query. Omitted only for the rows-only
+    entries (kg_pipeline_triples, streaming_windowed_counts,
+    normalize_documents) — pandas-UDF pipelines with no reasonable SQL
+    form. queries() registers every hash-checkable entry FIRST because the
+    driver verifies only the first entry_queries.DRIVER_CHECK_WINDOW."""
     return dict(EQ.ORACLE_SQL)

@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode/feature libraries (PIL, ffmpeg, torchaudio, ...) are NOT in this
-container, so the decode step is STUBBED behind ``_decode_image`` — a
-deterministic fake guarded by an import-try (drop-in replaceable by a real
-decoder). Everything Spark-side is real and tested: the schema, the
-mapInPandas batch shape, partitioning behavior, and the metadata math.
+The decode step is REAL for the containers a pure stdlib can parse — PNG
+(zlib inflate + per-scanline unfilter), BMP (24/32-bit uncompressed) and
+PPM P6 — with width/height/mean-luma computed from actual pixels. Formats
+needing codecs this container lacks (JPEG, WebP, video/audio) fall back to
+the deterministic content-hash stand-in at the same seam, so swapping in
+PIL/ffmpeg is a drop-in (`_decode_image`). Everything Spark-side —
+schema, mapInPandas batch shape, partitioning, metadata math — is real
+and tested either way.
 
 Batch sizing note for 100 TB: binary payloads make rows wide — the caller
 should lower spark.sql.execution.arrow.maxRecordsPerBatch (e.g. 256) and
@@ -16,6 +19,8 @@ executor memory.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -37,25 +42,161 @@ IMAGE_FEATURES_SCHEMA = T.StructType([
     T.StructField("mean_luma", T.DoubleType()),
 ])
 
-try:  # pragma: no cover - not available in this container
-    from PIL import Image  # noqa: F401
-    _HAVE_PIL = True
-except ImportError:
-    _HAVE_PIL = False
+#: ITU-R BT.601 luma weights (the PIL 'L' convert uses the same).
+_LUMA = (0.299, 0.587, 0.114)
+
+
+# ---------------------------------------------------------------------------
+# PNG (pure stdlib: struct + zlib)
+# ---------------------------------------------------------------------------
+
+#: color type -> samples per pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+    """Reverse the per-scanline PNG filters (types 0-4). ``bpp`` = bytes
+    per pixel. Returns height*stride filtered-out bytes."""
+    stride = width * bpp
+    out = bytearray(height * stride)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos:pos + stride])
+        pos += stride
+        prev_off = (y - 1) * stride
+        if ftype == 1:                                    # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:                                  # Up
+            if y:
+                for i in range(stride):
+                    line[i] = (line[i] + out[prev_off + i]) & 0xFF
+        elif ftype == 3:                                  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = out[prev_off + i] if y else 0
+                line[i] = (line[i] + ((a + b) >> 1)) & 0xFF
+        elif ftype == 4:                                  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = out[prev_off + i] if y else 0
+                c = out[prev_off + i - bpp] if (y and i >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"PNG: unknown filter type {ftype}")
+        out[(y) * stride:(y + 1) * stride] = line
+    return out
+
+
+def _decode_png(content: bytes) -> tuple[int, int, float]:
+    pos, plte, idat = 8, b"", bytearray()
+    width = height = depth = ctype = interlace = None
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[pos:pos + 4])
+        ctag = content[pos + 4:pos + 8]
+        data = content[pos + 8:pos + 8 + length]
+        pos += 12 + length                                 # skip CRC
+        if ctag == b"IHDR":
+            width, height, depth, ctype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data)
+        elif ctag == b"PLTE":
+            plte = data
+        elif ctag == b"IDAT":
+            idat.extend(data)
+        elif ctag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG: missing IHDR")
+    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        raise ValueError(
+            f"PNG: unsupported (depth={depth}, ctype={ctype}, "
+            f"interlace={interlace}) — 8-bit non-interlaced only")
+    nch = _PNG_CHANNELS[ctype]
+    px = _png_unfilter(zlib.decompress(bytes(idat)), width, height, nch)
+
+    import numpy as np
+    arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(-1, nch)
+    if ctype == 3:                                         # palette lookup
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        rgb = pal[arr[:, 0]].astype(np.float64)
+        luma = rgb @ np.array(_LUMA)
+    elif ctype in (0, 4):                                  # gray(+alpha)
+        luma = arr[:, 0].astype(np.float64)
+    else:                                                  # RGB / RGBA
+        luma = arr[:, :3].astype(np.float64) @ np.array(_LUMA)
+    return width, height, round(float(luma.mean()) / 255.0, 6)
+
+
+# ---------------------------------------------------------------------------
+# BMP (24/32-bit uncompressed) and PPM P6
+# ---------------------------------------------------------------------------
+
+def _decode_bmp(content: bytes) -> tuple[int, int, float]:
+    (offset,) = struct.unpack("<I", content[10:14])
+    width, height = struct.unpack("<ii", content[18:26])
+    (bpp,) = struct.unpack("<H", content[28:30])
+    (compression,) = struct.unpack("<I", content[30:34])
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"BMP: unsupported (bpp={bpp}, comp={compression})")
+    height_abs = abs(height)                               # <0 => top-down
+    nch = bpp // 8
+    row_bytes = ((width * nch + 3) // 4) * 4               # 4-byte padding
+
+    import numpy as np
+    luma_w = np.array(_LUMA[::-1])                          # BGR order
+    total = 0.0
+    for y in range(height_abs):
+        row = content[offset + y * row_bytes:
+                      offset + y * row_bytes + width * nch]
+        px = np.frombuffer(row, dtype=np.uint8).reshape(width, nch)
+        total += float((px[:, :3].astype(np.float64) @ luma_w).sum())
+    return width, height_abs, round(
+        total / (width * height_abs) / 255.0, 6)
+
+
+def _decode_ppm(content: bytes) -> tuple[int, int, float]:
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> raster
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(content) and content[pos:pos + 1].isspace():
+            pos += 1
+        if content[pos:pos + 1] == b"#":                   # comment line
+            pos = content.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(content[start:pos]))
+    pos += 1                                               # single ws
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"PPM: unsupported maxval {maxval}")
+
+    import numpy as np
+    px = np.frombuffer(content[pos:pos + width * height * 3],
+                       dtype=np.uint8).reshape(-1, 3)
+    luma = px.astype(np.float64) @ np.array(_LUMA)
+    return width, height, round(float(luma.mean()) / 255.0, 6)
 
 
 def _decode_image(content: bytes) -> tuple[int, int, float]:
-    """(width, height, mean_luma). STUB: without PIL this is a
-    deterministic fake derived from the content hash — the Spark plumbing
-    (schema, batching, partitioning) is what's under test here."""
-    if _HAVE_PIL:
-        raise NotImplementedError(
-            "real decode path intentionally unimplemented in sandbox")
+    """(width, height, mean_luma in [0,1]). REAL decode for PNG / BMP /
+    PPM-P6 (pure stdlib + numpy); unrecognized containers (JPEG, WebP, ...
+    — codecs absent here) fall back to a deterministic content-hash
+    stand-in at this same seam, the documented stub boundary."""
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(content)
+    if content[:2] == b"BM":
+        return _decode_bmp(content)
+    if content[:2] == b"P6":
+        return _decode_ppm(content)
     h = hashlib.sha256(content).digest()
-    width = 64 + h[0] % 192
-    height = 64 + h[1] % 192
-    mean_luma = round(h[2] / 255.0, 6)
-    return width, height, mean_luma
+    return 64 + h[0] % 192, 64 + h[1] % 192, round(h[2] / 255.0, 6)
 
 
 def image_features(media: DataFrame) -> DataFrame:

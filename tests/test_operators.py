@@ -149,6 +149,8 @@ def test_token_count_matches_python(spark):
 # ------------------------------------------------------------- multimodal
 
 def test_image_features_stub(spark):
+    """Unrecognized containers (no codec in this sandbox) still flow
+    through the same seam with the deterministic stand-in features."""
     rows = [("m1", "image", bytearray(b"fake-image-bytes-1"), "{}"),
             ("m2", "image", bytearray(b"fake-image-bytes-2"), "{}"),
             ("m3", "audio", bytearray(b"fake-audio"), "{}")]
@@ -161,6 +163,131 @@ def test_image_features_stub(spark):
     # deterministic across runs
     again = multimodal.image_features(media).collect()
     assert sorted(map(tuple, feats)) == sorted(map(tuple, again))
+
+
+# --- independent encoders (forward filters / container headers written by
+# --- hand here, so the decoder is checked against different math)
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data)))
+
+
+def _encode_png(pixels, ctype: int, filters=None) -> bytes:
+    """pixels: list of rows, each a list of per-pixel channel tuples."""
+    import struct
+    import zlib
+    nch = {0: 1, 2: 3, 6: 4}[ctype]
+    h, w = len(pixels), len(pixels[0])
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = bytes(w * nch)
+    for row, ft in zip(pixels, filters):
+        line = bytes(v for px in row for v in px)
+        raw.append(ft)
+        for i in range(len(line)):
+            a = line[i - nch] if i >= nch else 0
+            b = prev[i]
+            c = prev[i - nch] if i >= nch else 0
+            if ft == 0:
+                raw.append(line[i])
+            elif ft == 1:
+                raw.append((line[i] - a) & 0xFF)
+            elif ft == 2:
+                raw.append((line[i] - b) & 0xFF)
+            elif ft == 3:
+                raw.append((line[i] - ((a + b) >> 1)) & 0xFF)
+            elif ft == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                raw.append((line[i] - pr) & 0xFF)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def test_png_decode_real_pixels():
+    """True width/height/mean-luma from actual encoded PNG bytes, across
+    every filter type and gray/RGB/RGBA color types."""
+    from master_project_spark.operators.multimodal import _decode_image
+
+    # 3x2 RGB, filter 0: known BT.601 luma
+    px = [[(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+          [(255, 255, 255), (0, 0, 0), (128, 128, 128)]]
+    w, h, luma = _decode_image(_encode_png(px, ctype=2))
+    want = (0.299 * 255 + 0.587 * 255 + 0.114 * 255      # r+g+b pixels
+            + 255 + 0 + 128) / 6 / 255.0
+    assert (w, h) == (3, 2)
+    assert abs(luma - want) < 1e-6
+
+    # 4x5 grayscale exercising filters Sub/Up/Average/Paeth on real data
+    rows = [[(v,) for v in (10, 200, 30, 77)],
+            [(v,) for v in (0, 13, 255, 8)],
+            [(v,) for v in (1, 2, 3, 4)],
+            [(v,) for v in (250, 249, 3, 128)],
+            [(v,) for v in (42, 42, 42, 42)]]
+    flat = [v for row in rows for (v,) in row]
+    for filt in (0, 1, 2, 3, 4):
+        w, h, luma = _decode_image(
+            _encode_png(rows, ctype=0, filters=[filt] * 5))
+        assert (w, h) == (4, 5), filt
+        assert abs(luma - sum(flat) / len(flat) / 255.0) < 1e-6, filt
+    # mixed filters
+    w, h, luma = _decode_image(
+        _encode_png(rows, ctype=0, filters=[0, 1, 2, 3, 4]))
+    assert abs(luma - sum(flat) / len(flat) / 255.0) < 1e-6
+
+    # RGBA: alpha ignored by luma
+    px = [[(10, 20, 30, 0), (10, 20, 30, 255)]]
+    w, h, luma = _decode_image(_encode_png(px, ctype=6, filters=[4]))
+    assert (w, h) == (2, 1)
+    assert abs(luma - (0.299 * 10 + 0.587 * 20 + 0.114 * 30) / 255.0) < 1e-6
+
+
+def test_bmp_and_ppm_decode_real_pixels():
+    import struct
+
+    from master_project_spark.operators.multimodal import _decode_image
+
+    # 3x2 24-bit BMP, bottom-up, rows padded to 4 bytes (9 -> 12)
+    rows_bgr = [[(0, 0, 255), (0, 255, 0), (255, 0, 0)],     # image row 0
+                [(255, 255, 255), (0, 0, 0), (128, 128, 128)]]
+    raster = b""
+    for row in reversed(rows_bgr):                           # bottom-up
+        line = bytes(v for px in row for v in px)
+        raster += line + b"\x00" * (12 - len(line))
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0,
+                            len(raster), 2835, 2835, 0, 0))
+    w, h, luma = _decode_image(header + raster)
+    want = (0.299 * 255 + 0.587 * 255 + 0.114 * 255
+            + 255 + 0 + 128) / 6 / 255.0
+    assert (w, h) == (3, 2)
+    assert abs(luma - want) < 1e-6
+
+    # PPM P6 with a header comment
+    px = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    ppm = b"P6\n# test comment\n2 2\n255\n" + px
+    w, h, luma = _decode_image(ppm)
+    want = (0.299 * 255 + 0.587 * 255 + 0.114 * 255 + 9) / 4 / 255.0
+    assert (w, h) == (2, 2)
+    assert abs(luma - want) < 1e-6
+
+
+def test_image_features_spark_path_with_real_png(spark):
+    """The mapInPandas operator end-to-end over real encoded bytes."""
+    png = _encode_png([[(0, 0, 0), (255, 255, 255)]], ctype=2)
+    media = spark.createDataFrame(
+        [("real1", "image", bytearray(png), "{}")], multimodal.MEDIA_SCHEMA)
+    r = multimodal.image_features(media).collect()[0]
+    assert (r["width"], r["height"]) == (2, 1)
+    assert abs(r["mean_luma"] - 0.5) < 1e-6
+    assert r["n_bytes"] == len(png)
 
 
 def test_frame_sample_and_resize_plan(spark):
