@@ -64,6 +64,43 @@ class FixpointResult:
     converged: bool = True
 
 
+class EmbeddingCache:
+    """Embed-once corpus embeddings, accumulated lazily across fixpoint
+    rounds AND task types (VERDICT round-2 'What's wrong' #1: the loop
+    previously re-ran embed_text_udf over the filtered corpus on every
+    round x type — up to 16x per chunk; at 100x scale the embedding UDF is
+    the dominant avoidable cost).
+
+    Each ``ensure(corpus)`` embeds ONLY the corpus rows not already cached
+    (an id-only anti-join) and returns the accumulated (id_cols..., ce)
+    table, so every chunk is embedded at most once per job no matter how
+    many rounds or task types touch it — strictly cheaper than both
+    per-round re-embedding and eager whole-corpus embedding (round-1
+    corpora are keyword-filtered subsets). embed_text is deterministic, so
+    joining cached vectors is exactly equivalent to recomputing them."""
+
+    def __init__(self, id_cols: tuple[str, ...],
+                 text_col: str = "chunk_text"):
+        self.id_cols = list(id_cols)
+        self.text_col = text_col
+        self.df: DataFrame | None = None    # (id_cols..., ce)
+
+    def ensure(self, corpus: DataFrame) -> DataFrame:
+        from .udfs import embed_text_udf
+        need = corpus.select(*self.id_cols, self.text_col)
+        if self.df is not None:
+            need = need.join(self.df.select(*self.id_cols), self.id_cols,
+                             "left_anti")
+        new = need.select(*self.id_cols,
+                          embed_text_udf(F.col(self.text_col)).alias("ce"))
+        grown = (new if self.df is None
+                 else self.df.unionByName(new))
+        # eager checkpoint = the one action that pays the embedding cost,
+        # once; also truncates the across-round lineage growth
+        self.df = grown.localCheckpoint(eager=True)
+        return self.df
+
+
 def fixpoint_loop(chunks: DataFrame, *, round1_corpus, literal_corpus,
                   extract, verify, grow_keywords, max_rounds: int = 8) -> FixpointResult:
     """Generic driver-side fixpoint (C5). All stage arguments are
@@ -119,11 +156,18 @@ _TYPE_BANKS = {
 def extraction_fixpoint(chunks: DataFrame, alias_dict: DataFrame, *,
                         mtype: str, top_k: int = 20, max_rounds: int = 8,
                         id_cols: tuple[str, str] = ("conv_id", "chunk_idx"),
-                        text_col: str = "chunk_text") -> FixpointResult:
+                        text_col: str = "chunk_text",
+                        embed_cache: EmbeddingCache | None = None) -> FixpointResult:
     """One task-type loop (the reference runs DATASET and BASELINE as
     separate Tasks, models.py:33-41). Retrieval-gated: extraction only sees
-    the top-k hit chunks of the type's canned queries."""
+    the top-k hit chunks of the type's canned queries.
+
+    ``embed_cache``: shared EmbeddingCache so chunks embed once across
+    rounds (and across task types when the caller shares one instance —
+    extraction_fixpoint_all does). Created per-call when omitted, which
+    still de-duplicates across this loop's rounds."""
     spark = chunks.sparkSession
+    embed_cache = embed_cache or EmbeddingCache(id_cols, text_col)
     keywords_bank, queries = _TYPE_BANKS[mtype]
     alternation = core.keyword_alternation(keywords_bank)
     # verification set: broadcast the (small) alias vocabulary to the
@@ -151,7 +195,8 @@ def extraction_fixpoint(chunks: DataFrame, alias_dict: DataFrame, *,
 
     def extract(corpus):
         hits = semantic_search(corpus, queries, text_col=text_col,
-                               id_cols=list(id_cols), top_k=top_k)
+                               id_cols=list(id_cols), top_k=top_k,
+                               embeddings=embed_cache.ensure(corpus))
         hit_chunks = resolve_hit_rows(corpus, hits, id_cols=list(id_cols))
         return (hit_chunks
                 .select(F.explode(mention_surfaces_udf(F.col(text_col)))
@@ -182,14 +227,21 @@ def extraction_fixpoint(chunks: DataFrame, alias_dict: DataFrame, *,
 def extraction_fixpoint_all(chunks: DataFrame, alias_dict: DataFrame, *,
                             top_k: int = 20, max_rounds: int = 8,
                             id_cols: tuple[str, str] = ("conv_id", "chunk_idx"),
-                            text_col: str = "chunk_text") -> tuple[DataFrame, dict]:
+                            text_col: str = "chunk_text",
+                            embed_cache: EmbeddingCache | None = None) -> tuple[DataFrame, dict]:
     """Both task types (the reference's task fan-out C1), unioned with an
-    mtype tag. Returns (entities_df(entity, mtype, first_round), info)."""
+    mtype tag. Returns (entities_df(entity, mtype, first_round), info).
+    ONE EmbeddingCache spans both type loops, so a chunk retrieved by both
+    DATASET and BASELINE rounds still embeds exactly once (pass one in to
+    also reuse/commit it from the caller — pipeline.py commits it as the
+    chunk_embeddings table)."""
     outs, info = [], {}
+    embed_cache = embed_cache or EmbeddingCache(id_cols, text_col)
     for mtype in ("DATASET", "BASELINE"):
         res = extraction_fixpoint(chunks, alias_dict, mtype=mtype,
                                   top_k=top_k, max_rounds=max_rounds,
-                                  id_cols=id_cols, text_col=text_col)
+                                  id_cols=id_cols, text_col=text_col,
+                                  embed_cache=embed_cache)
         outs.append(res.entities.select(
             "entity", F.lit(mtype).alias("mtype"), "first_round"))
         info[mtype] = {"rounds": res.rounds, "converged": res.converged,

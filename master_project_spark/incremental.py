@@ -363,29 +363,43 @@ def _incremental_graph_merge(spark, io, alias_dict, batch,
         m = io.manifest(table)
         return m is not None and m.get("snapshot_id") == snapshot
 
-    # 2) nodes: aggregate the DELTA linked mentions, merge algebraically
+    # 2) nodes: aggregate the DELTA linked mentions (bounded alias rows via
+    # node_aggregates), merge algebraically. Alias-array merge stays
+    # bounded: both inputs are <= ALIAS_CAP, the distinct-concat
+    # intermediate <= 2*ALIAS_CAP, re-capped on output. n_aliases merges
+    # EXACTLY while both sides' stored arrays are complete
+    # (n_aliases == size(aliases)); once either side overflowed the cap
+    # the true union size is unrecoverable from capped samples, so it
+    # degrades to a documented lower bound (greatest of the inputs and
+    # the merged sample size) — overflow stays visible, never fatal.
     if not _done("nodes"):
+        from .pipeline import ALIAS_CAP, node_aggregates
         delta_linked = io.read(spark, "linked_mentions").filter(
             F.col("batch") == batch)
-        new_nodes = (delta_linked.join(em_full, "surface")
-                     .groupBy("entity_id")
-                     .agg(F.min("surface").alias("canonical"),
-                          F.sort_array(F.collect_set("surface"))
-                          .alias("aliases"),
-                          F.count(F.lit(1)).alias("n_mentions")))
+        new_nodes = node_aggregates(delta_linked.join(em_full, "surface"))
         old_nodes = io.read(spark, "nodes")
+        empty_arr = F.expr("cast(array() as array<string>)")
+        merged_set = F.array_distinct(F.concat(
+            F.coalesce(F.col("o.aliases"), empty_arr),
+            F.coalesce(F.col("n.aliases"), empty_arr)))
+        o_complete = (F.coalesce("o.n_aliases", F.lit(0))
+                      == F.size(F.coalesce(F.col("o.aliases"), empty_arr)))
+        n_complete = (F.coalesce("n.n_aliases", F.lit(0))
+                      == F.size(F.coalesce(F.col("n.aliases"), empty_arr)))
         merged_nodes = (
             old_nodes.alias("o").join(new_nodes.alias("n"), "entity_id",
                                       "full_outer")
             .select(
                 "entity_id",
                 F.least("o.canonical", "n.canonical").alias("canonical"),
-                F.sort_array(F.array_distinct(F.concat(
-                    F.coalesce(F.col("o.aliases"),
-                               F.expr("cast(array() as array<string>)")),
-                    F.coalesce(F.col("n.aliases"),
-                               F.expr("cast(array() as array<string>)")))))
+                F.slice(F.sort_array(merged_set), 1, ALIAS_CAP)
                 .alias("aliases"),
+                F.when(o_complete & n_complete, F.size(merged_set))
+                .otherwise(F.greatest(
+                    F.coalesce("o.n_aliases", F.lit(0)),
+                    F.coalesce("n.n_aliases", F.lit(0)),
+                    F.size(merged_set).cast("long")))
+                .cast("long").alias("n_aliases"),
                 (F.coalesce("o.n_mentions", F.lit(0))
                  + F.coalesce("n.n_mentions", F.lit(0))).alias("n_mentions"))
             .localCheckpoint(eager=True))
@@ -457,10 +471,7 @@ def _rebuild_graph_full(spark, io, alias_dict, batch: str) -> None:
     io.write_manifest("entity_map", snapshot)
     entity_map = io.read(spark, "entity_map").drop("batch")
 
-    nodes = (linked.join(entity_map, "surface")
-             .groupBy("entity_id")
-             .agg(F.min("surface").alias("canonical"),
-                  F.sort_array(F.collect_set("surface")).alias("aliases"),
-                  F.count(F.lit(1)).alias("n_mentions")))
-    io.commit(nodes, "nodes", snapshot)
+    from .pipeline import node_aggregates
+    io.commit(node_aggregates(linked.join(entity_map, "surface")),
+              "nodes", snapshot)
     io.commit(_edges_from(triples, entity_map), "edges", snapshot)

@@ -54,16 +54,29 @@ def query_embeddings_df(spark, queries: list[str]) -> DataFrame:
 
 def semantic_search(corpus: DataFrame, queries: list[str] | DataFrame,
                     text_col: str = "chunk_text", id_cols: list[str] | None = None,
-                    top_k: int = 20) -> DataFrame:
+                    top_k: int = 20,
+                    embeddings: DataFrame | None = None) -> DataFrame:
     """Cosine top-k of every query against the corpus. Embeddings are
-    unit-norm (core.embed_text), so the dot product IS the cosine."""
+    unit-norm (core.embed_text), so the dot product IS the cosine.
+
+    ``embeddings``: optional precomputed (id_cols..., ce) table covering at
+    least the corpus ids — when given, the corpus is joined to it instead
+    of re-running the embedding UDF (the embed-once path the fixpoint uses;
+    embed_text is deterministic, so the join is semantics-identical)."""
     spark = corpus.sparkSession
     if not isinstance(queries, DataFrame):
         queries = query_embeddings_df(spark, queries)
     id_cols = id_cols or ["conv_id", "chunk_idx"]
+    if embeddings is not None:
+        embedded = corpus.select(
+            *id_cols, F.col(text_col).alias("hit_text")).join(
+                embeddings.select(*id_cols, "ce"), id_cols)
+    else:
+        embedded = corpus.select(
+            *id_cols, F.col(text_col).alias("hit_text"),
+            embed_text_udf(F.col(text_col)).alias("ce"))
     scored = (
-        corpus.select(*id_cols, F.col(text_col).alias("hit_text"),
-                      embed_text_udf(F.col(text_col)).alias("ce"))
+        embedded
         .crossJoin(F.broadcast(queries))
         .withColumn("score", F.round(F.expr(_DOT), 6)))
     w = Window.partitionBy("query_id").orderBy(
