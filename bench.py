@@ -40,7 +40,8 @@ def _force(df) -> int:
     return 0
 
 
-def pipeline_leg(cores: int, sf_dir: str, n_convs: int) -> dict:
+def pipeline_leg(cores: int, sf_dir: str, n_convs: int,
+                 with_fixpoint: bool = False) -> dict:
     from master_project_spark.datagen import alias_df, transcripts_df_distributed
     from master_project_spark.pipeline import run_pipeline
     from master_project_spark.session import get_spark
@@ -55,13 +56,28 @@ def pipeline_leg(cores: int, sf_dir: str, n_convs: int) -> dict:
         n_turns = transcripts.count()  # materialize: measure pipeline, not gen
         t0 = time.perf_counter()
         res = run_pipeline(spark, transcripts, out, alias_df(spark),
-                           resume=False)
+                           resume=False, with_fixpoint=with_fixpoint)
         n_triples = res.tables["triples"].count()
         wall = time.perf_counter() - t0
-        return {"cores": cores, "turns": n_turns, "triples": n_triples,
-                "wall_sec": round(wall, 3),
-                "turns_per_sec": round(n_turns / wall, 2),
-                "triples_per_sec": round(n_triples / wall, 2)}
+        leg = {"cores": cores, "turns": n_turns, "triples": n_triples,
+               "wall_sec": round(wall, 3),
+               "turns_per_sec": round(n_turns / wall, 2),
+               "triples_per_sec": round(n_triples / wall, 2)}
+        if with_fixpoint:
+            by_stage = {m["stage"]: m for m in res.metrics}
+            leg["fixpoint"] = {
+                "stage_wall_sec": round(
+                    by_stage["fixpoint_entities"]["wall_ms"] / 1000, 3),
+                "embed_commit_sec": round(
+                    by_stage.get("chunk_embeddings",
+                                 {"wall_ms": 0})["wall_ms"] / 1000, 3),
+                "entities": by_stage["fixpoint_entities"]["rows_out"],
+                "chunks_embedded": by_stage.get(
+                    "chunk_embeddings", {"rows_out": 0})["rows_out"],
+                "convergence": json.loads(
+                    by_stage["_fixpoint_convergence"]["files_json"]),
+            }
+        return leg
     finally:
         shutil.rmtree(out, ignore_errors=True)
         spark.stop()
@@ -73,6 +89,11 @@ def main(argv=None) -> int:
                     help="run the pipeline leg at 8 and 32 cores in "
                          "subprocesses and report scaling efficiency")
     ap.add_argument("--pipeline-only", action="store_true")
+    ap.add_argument("--fixpoint", action="store_true",
+                    help="run the pipeline WITH the extraction-fixpoint "
+                         "stage and report its wall/rounds/embed counts "
+                         "(kept out of the default bench so the headline "
+                         "pipeline number stays comparable across rounds)")
     ap.add_argument("--cores", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--sf-dir",
@@ -119,6 +140,15 @@ def main(argv=None) -> int:
     if args.pipeline_only:
         leg = pipeline_leg(args.cores, args.sf_dir, n_convs)
         print(json.dumps({"pipeline": leg}))
+        return 0
+
+    if args.fixpoint:
+        leg = pipeline_leg(args.cores, args.sf_dir, n_convs,
+                           with_fixpoint=True)
+        print(json.dumps({
+            "metric": "kg_pipeline_with_fixpoint_wall",
+            "value": leg["wall_sec"], "unit": "sec", "sf": sf,
+            "pipeline": leg}))
         return 0
 
     # ---- standard driver-run bench: pipeline + headline operator queries

@@ -59,21 +59,102 @@ def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     return planes
 
 
+def kmeans_centroids(corpus: DataFrame, n_cells: int = 8, n_iter: int = 5,
+                     cid: str = "vec_id", cvec: str = "embedding") -> DataFrame:
+    """Deterministic k-means centroids for the IVF coarse quantizer
+    (VERDICT round-2 ask #8 — replaces the lowest-id toy):
+
+    - seeding: farthest-first traversal (k-center greedy) — the
+      deterministic, RNG-free member of the k-means++ family: seed 1 is
+      the lowest-id vector, each next seed the point with MAXIMUM cosine
+      distance to its nearest chosen seed (ties broken by id);
+    - refinement: ``n_iter`` fixed Lloyd iterations — assign each vector
+      to its nearest centroid (broadcast, map-side), recompute centroids
+      as per-dimension means via posexplode (the distributed elementwise
+      mean), ROUND to 6 dp so the result is reproducible across partition
+      orders / engines (float sums are order-sensitive at ~1e-15; the
+      rounding is orders of magnitude coarser). Empty cells keep their
+      previous centroid.
+
+    Returns (cell_id int, cv array<double>). Cost: n_cells + n_iter small
+    jobs over the corpus, all broadcast-joined — one-off build cost
+    amortized across every query batch, exactly how a trained IVF index is
+    used at scale. Mirrored exactly by the NumPy oracle in
+    tests/test_operators.py."""
+    c = (corpus.select(F.col(cid).alias("id"), F.col(cvec).alias("v"))
+         .localCheckpoint(eager=True))
+
+    def cos_to(col_a: str, col_b: str) -> F.Column:
+        dot = (f"aggregate(zip_with({col_a}, {col_b}, (x, y) -> "
+               f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+               f"CAST(0.0 AS DOUBLE), (s, t) -> s + t)")
+        return F.round(
+            F.expr(dot) / (F.expr(_NORM.format(c=col_a))
+                           * F.expr(_NORM.format(c=col_b))), 6)
+
+    # ---- farthest-first seeding
+    first = c.orderBy("id").limit(1).collect()[0]
+    seeds = [[float(x) for x in first["v"]]]
+    for _ in range(1, n_cells):
+        seed_df = c.sparkSession.createDataFrame(
+            [(i, s) for i, s in enumerate(seeds)],
+            "sid int, sv array<double>")
+        far = (c.crossJoin(F.broadcast(seed_df))
+               .withColumn("sim", cos_to("v", "sv"))
+               .groupBy("id").agg(F.max("sim").alias("best_sim"))
+               .orderBy(F.col("best_sim").asc(), F.col("id").asc())
+               .limit(1).collect()[0])
+        vec = c.filter(F.col("id") == far["id"]).collect()[0]["v"]
+        seeds.append([float(x) for x in vec])
+
+    cents = c.sparkSession.createDataFrame(
+        [(i, s) for i, s in enumerate(seeds)],
+        "cell_id int, cv array<double>")
+
+    # ---- Lloyd iterations
+    w_assign = Window.partitionBy("id").orderBy(
+        F.col("sim").desc(), F.col("cell_id"))
+    for _ in range(n_iter):
+        assigned = (c.crossJoin(F.broadcast(cents))
+                    .withColumn("sim", cos_to("v", "cv"))
+                    .withColumn("rn", F.row_number().over(w_assign))
+                    .filter("rn = 1").select("id", "v", "cell_id"))
+        means = (assigned
+                 .select("cell_id", F.posexplode(
+                     F.expr("transform(v, x -> CAST(x AS DOUBLE))"))
+                     .alias("dim", "x"))
+                 .groupBy("cell_id", "dim")
+                 .agg(F.round(F.avg("x"), 6).alias("m"))
+                 .groupBy("cell_id")
+                 .agg(F.expr(
+                     "transform(array_sort(collect_list(struct(dim, m))), "
+                     "s -> s.m)").alias("cv")))
+        # empty cells keep the previous centroid
+        cents = (cents.alias("o")
+                 .join(means.alias("n"), "cell_id", "left")
+                 .select("cell_id",
+                         F.coalesce(F.col("n.cv"), F.col("o.cv")).alias("cv"))
+                 .localCheckpoint(eager=True))
+    return cents
+
+
 def ivf_ann_topk(queries: DataFrame, corpus: DataFrame, k: int = 20,
                  n_cells: int = 8, nprobe: int = 2,
                  qid: str = "vec_id", cid: str = "vec_id",
-                 qvec: str = "embedding", cvec: str = "embedding") -> DataFrame:
+                 qvec: str = "embedding", cvec: str = "embedding",
+                 centroids: DataFrame | None = None) -> DataFrame:
     """IVF (inverted-file) ANN: a coarse quantizer assigns every corpus
     vector to its nearest of ``n_cells`` centroids; a query probes its
     ``nprobe`` nearest cells and rescores exactly inside them. At 100 TB
     the cell assignment is one map-side pass (centroids broadcast) and the
     probe join touches nprobe/n_cells of the corpus instead of all of it.
 
-    Centroids are the ``n_cells`` lowest-id corpus vectors — deterministic
-    without an iterative k-means fit (the sandbox twin must be exactly
-    reproducible in SQL; swapping in trained centroids is a drop-in).
-    Similarity = cosine rounded to 6, ties broken by id — identical on
-    both engines."""
+    ``centroids``: a (cell_id, cv) table — pass kmeans_centroids(...) for
+    the trained quantizer (better recall per probe). Default (None) is the
+    ``n_cells`` lowest-id corpus vectors — deterministic without a fit and
+    exactly reproducible in the DuckDB contract twin; both paths share all
+    machinery below. Similarity = cosine rounded to 6, ties broken by
+    id — identical on both engines."""
     c = corpus.select(F.col(cid).alias("corpus_id"),
                       F.col(cvec).alias("ce"))
     q = queries.select(F.col(qid).alias("query_id"),
@@ -85,11 +166,14 @@ def ivf_ann_topk(queries: DataFrame, corpus: DataFrame, k: int = 20,
     w_topk = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("corpus_id"))
 
-    # TakeOrdered (distributed top-k), NOT a global window — no
-    # single-reducer funnel just to pick n_cells centroids
-    cents = (c.orderBy("corpus_id").limit(n_cells)
-             .select(F.col("corpus_id").alias("cell_id"),
-                     F.col("ce").alias("cv")))
+    if centroids is not None:
+        cents = centroids.select("cell_id", "cv")
+    else:
+        # TakeOrdered (distributed top-k), NOT a global window — no
+        # single-reducer funnel just to pick n_cells centroids
+        cents = (c.orderBy("corpus_id").limit(n_cells)
+                 .select(F.col("corpus_id").alias("cell_id"),
+                         F.col("ce").alias("cv")))
 
     def cos(a: str, b: str) -> F.Column:
         dot = (f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "

@@ -146,6 +146,101 @@ def test_token_count_matches_python(spark):
     assert got[0]["n"] == expected
 
 
+def _np_kmeans_oracle(ids, vecs, n_cells, n_iter):
+    """Single-process mirror of similarity.kmeans_centroids: farthest-first
+    seeding on 6-dp-rounded cosine (ties by id), Lloyd with 6-dp-rounded
+    per-dim means, empty cells keep their centroid."""
+    import numpy as np
+
+    def cos6(a, b):
+        d = float(np.dot(a, b)) / (float(np.linalg.norm(a))
+                                   * float(np.linalg.norm(b)))
+        return round(d, 6)
+
+    order = np.argsort(ids)
+    ids = [ids[i] for i in order]
+    vecs = [np.asarray(vecs[i], dtype=np.float64) for i in order]
+    seeds = [vecs[0].copy()]
+    for _ in range(1, n_cells):
+        best = [(max(cos6(v, s) for s in seeds), ids[i])
+                for i, v in enumerate(vecs)]
+        # MIN best-similarity = farthest; ties by id ascending
+        pick = min(range(len(vecs)), key=lambda i: (best[i][0], best[i][1]))
+        seeds.append(vecs[pick].copy())
+    cents = [s.copy() for s in seeds]
+    for _ in range(n_iter):
+        assign = []
+        for v in vecs:
+            sims = [cos6(v, c) for c in cents]
+            # max sim, ties by LOWEST cell_id (matches the window order)
+            assign.append(max(range(n_cells),
+                              key=lambda j: (sims[j], -j)))
+        for j in range(n_cells):
+            members = [vecs[i] for i in range(len(vecs)) if assign[i] == j]
+            if members:
+                cents[j] = np.round(np.mean(members, axis=0), 6)
+    return cents
+
+
+def test_kmeans_centroids_match_numpy_oracle(spark):
+    """similarity.kmeans_centroids is deterministic and equals the
+    single-process oracle (seeding choices exactly; Lloyd means to within
+    float-sum-order noise far below the 6-dp rounding)."""
+    import numpy as np
+
+    from master_project_spark.operators.similarity import kmeans_centroids
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet") \
+        .filter(F.col("vec_id") < 120)
+    rows = e.collect()
+    ids = [r["vec_id"] for r in rows]
+    vecs = [[float(x) for x in r["embedding"]] for r in rows]
+
+    got = {r["cell_id"]: np.asarray(r["cv"])
+           for r in kmeans_centroids(e, n_cells=4, n_iter=3).collect()}
+    want = _np_kmeans_oracle(ids, vecs, n_cells=4, n_iter=3)
+    assert sorted(got) == [0, 1, 2, 3]
+    for j in range(4):
+        assert np.allclose(got[j], want[j], atol=2e-6), j
+    # deterministic across invocations
+    again = {r["cell_id"]: np.asarray(r["cv"])
+             for r in kmeans_centroids(e, n_cells=4, n_iter=3).collect()}
+    for j in range(4):
+        assert np.array_equal(got[j], again[j])
+
+
+def test_ivf_kmeans_recall_at_10(spark):
+    """Recall@10 of the IVF probe vs exact brute force on the embeddings
+    table, for both quantizers. The trained k-means centroids must be a
+    usable index (recall well above the nprobe/n_cells random-cell floor);
+    both numbers are reported in BENCH/BASELINE.md."""
+    from master_project_spark.operators.similarity import (
+        brute_force_topk, ivf_ann_topk, kmeans_centroids)
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q, c = e.filter(F.col("vec_id") < 8), e.filter(F.col("vec_id") >= 8)
+    exact = brute_force_topk(q, c, k=10)
+    gold = {}
+    for r in exact.collect():
+        gold.setdefault(r["query_id"], set()).add(r["corpus_id"])
+
+    def recall(df):
+        hits = {}
+        for r in df.collect():
+            hits.setdefault(r["query_id"], set()).add(r["corpus_id"])
+        return sum(len(hits.get(qid, set()) & g) / len(g)
+                   for qid, g in gold.items()) / len(gold)
+
+    cents = kmeans_centroids(c, n_cells=8, n_iter=5,
+                             cid="vec_id", cvec="embedding")
+    r_kmeans = recall(ivf_ann_topk(q, c, k=10, n_cells=8, nprobe=2,
+                                   centroids=cents))
+    r_toy = recall(ivf_ann_topk(q, c, k=10, n_cells=8, nprobe=2))
+    print(f"\nIVF recall@10 (nprobe=2/8): kmeans={r_kmeans:.3f} "
+          f"lowest-id={r_toy:.3f}")
+    assert r_kmeans >= 0.5          # far above the 0.25 random-cell floor
+
+
 # ------------------------------------------------------------- multimodal
 
 def test_image_features_stub(spark):
