@@ -156,16 +156,20 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
         return (lbls.select("skey", "label").union(msgs)
                 .groupBy("skey").agg(F.min("label").alias("label")))
 
-    for _ in range(0, max_iter, 2):
-        # TWO propagation steps per convergence probe: the probe is a
-        # driver-synchronized action (the serial component of the whole
-        # pipeline at high core counts), and an extra propagation past the
-        # fixpoint is a cheap no-op — so doubling the stride halves the
-        # loop's driver round-trips for the same result.
+    for _ in range(0, max_iter, 3):
+        # THREE propagation steps per convergence probe (round-3: was 2):
+        # the probe is a driver-synchronized action — the serial component
+        # of the whole pipeline at high core counts — and propagation past
+        # the fixpoint is a cheap no-op, so widening the stride trades a
+        # little redundant map work for a third fewer driver round-trips.
+        # (Stride >3 showed no further gain: typical surface-cluster
+        # diameters converge in <=4 steps, so wider strides only add
+        # no-op joins.)
         # lazy checkpoint: the changed-count below is the single action
         # that both materializes the truncated lineage and tests
         # convergence
-        new_labels = propagate(propagate(labels)).localCheckpoint(eager=False)
+        new_labels = propagate(propagate(propagate(labels))) \
+            .localCheckpoint(eager=False)
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "skey")
                    .filter(F.col("n.label") != F.col("o.label"))

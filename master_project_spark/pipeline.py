@@ -293,6 +293,32 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
     # conversations — O(delta + touched partitions), never O(history)
     batch_token = "b" + hashlib.sha256(fp.encode()).hexdigest()[:12]
 
+    # ---- ordering invariant check (north_star's
+    # Window.partitionBy(conv_id).orderBy(turn_idx) contract): launched on
+    # its own thread BEFORE the stage waves so its full pass interleaves
+    # with wave compute under the FAIR scheduler instead of serializing at
+    # the end of the run (round-3 Amdahl work)
+    from threading import Thread
+
+    order_box: dict[str, int] = {}
+
+    def _order_check():
+        try:
+            order_box["violations"] = (
+                transcripts.groupBy("conv_id")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.min("turn_idx").alias("lo"),
+                     F.max("turn_idx").alias("hi"),
+                     F.countDistinct("turn_idx").alias("nd"))
+                .filter((F.col("n") != F.col("nd"))
+                        | (F.col("hi") - F.col("lo") + 1 != F.col("n")))
+                .count())
+        except BaseException as e:           # surfaced at the join point
+            order_box["error"] = e
+
+    order_thread = Thread(target=_order_check, daemon=True)
+    order_thread.start()
+
     # ---- wave 1: the three transcripts-rooted stages run CONCURRENTLY —
     # extraction (Python-heavy), chunking (shuffle+Python), and the salted
     # stats agg interleave under the FAIR scheduler, filling each other's
@@ -480,15 +506,11 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
     tables["nodes"] = w5["nodes"]
     tables["edges"] = w5["edges"]
 
-    # ---- ordering invariant check (rides its own tiny agg; north_star's
-    # Window.partitionBy(conv_id).orderBy(turn_idx) contract)
-    order_violations = (
-        transcripts.groupBy("conv_id")
-        .agg(F.count(F.lit(1)).alias("n"),
-             F.min("turn_idx").alias("lo"), F.max("turn_idx").alias("hi"),
-             F.countDistinct("turn_idx").alias("nd"))
-        .filter((F.col("n") != F.col("nd"))
-                | (F.col("hi") - F.col("lo") + 1 != F.col("n"))).count())
+    # ---- join the concurrent ordering-invariant check (started pre-wave-1)
+    order_thread.join()
+    if "error" in order_box:
+        raise order_box["error"]
+    order_violations = order_box["violations"]
 
     # ---- run_metrics table
     st.metrics.append({

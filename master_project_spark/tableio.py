@@ -92,6 +92,28 @@ class IcebergTableIO:
         return spark.read.table(self._ident(name))
 
 
+def _footer_lineage(path: Path) -> list[dict]:
+    """Per-file row counts from parquet footers, read CONCURRENTLY (round-3
+    scaling work: the sequential footer scan was pure driver-serial time —
+    ~1 ms x cores*4 files x every committed table adds up to seconds of
+    Amdahl serial fraction per run; footer reads are IO-bound so a thread
+    pool collapses it to ~the slowest single read)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.parquet as pq
+
+    paths = sorted(path.rglob("*.parquet"))
+
+    def one(f: Path) -> dict:
+        return {"file": str(f.relative_to(path)),
+                "rows": pq.ParquetFile(f).metadata.num_rows}
+
+    if len(paths) <= 2:
+        return [one(f) for f in paths]
+    with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:
+        return list(ex.map(one, paths))
+
+
 class TableIO:
     def __init__(self, root: str | Path):
         self.root = Path(root)
@@ -131,11 +153,7 @@ class TableIO:
         # per-file (== per output partition) lineage from parquet footers —
         # a metadata-only operation, no Spark job (on a cluster this is the
         # same footer read the manifest writer would do)
-        import pyarrow.parquet as pq
-        files = []
-        for f in sorted(path.rglob("*.parquet")):
-            files.append({"file": str(f.relative_to(path)),
-                          "rows": pq.ParquetFile(f).metadata.num_rows})
+        files = _footer_lineage(path)
         manifest = {
             "table": name,
             "snapshot_id": snapshot_id,
@@ -155,12 +173,8 @@ class TableIO:
         """(Re)write a manifest for data already on disk (e.g. after an
         append) in the same shape ``commit`` produces — per-file lineage
         from parquet footers, no Spark job."""
-        import pyarrow.parquet as pq
         path = self._data_dir(name)
-        files = []
-        for f in sorted(path.rglob("*.parquet")):
-            files.append({"file": str(f.relative_to(path)),
-                          "rows": pq.ParquetFile(f).metadata.num_rows})
+        files = _footer_lineage(path)
         manifest = {
             "table": name,
             "snapshot_id": snapshot_id,
