@@ -1178,7 +1178,11 @@ def stateful_user_progress(spark, sf_dir):
     # location sits on the virtio disk, whose writeback stalls the
     # per-microbatch state commit (observed flaky
     # ChecksumCancellableFSDataOutputStream aborts)
-    ckpt = f"/dev/shm/mps_{name}"
+    import os
+    import tempfile
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") \
+        else tempfile.gettempdir()
+    ckpt = f"{ckpt_base}/mps_{name}"
     # default trigger + poll-then-stop (NOT availableNow: processing-time
     # timeouts keep scheduling state-cleanup microbatches by design, and
     # the query would never self-terminate). Completion condition: the

@@ -90,12 +90,23 @@ def conv_stats_df(transcripts: DataFrame) -> DataFrame:
         .groupBy("conv_id", "salt")
         .agg(F.count(F.lit(1)).alias("n"),
              F.sum(F.length("text")).alias("chars"),
-             F.min("ts").alias("lo"), F.max("ts").alias("hi")))
+             F.min("ts").alias("lo"), F.max("ts").alias("hi"),
+             # turn-ordering invariant inputs ride the SAME aggregation
+             # (round 3: the order check was its own full transcript pass —
+             # pure overhead; salt is a function of turn_idx, so each
+             # distinct turn_idx lands in exactly one bucket and the
+             # per-bucket distinct counts SUM to the global one)
+             F.countDistinct("turn_idx").alias("nd_idx"),
+             F.min("turn_idx").alias("lo_idx"),
+             F.max("turn_idx").alias("hi_idx")))
     return (partial.groupBy("conv_id")
             .agg(F.sum("n").alias("n_turns"),
                  F.sum("chars").alias("n_chars"),
                  F.min("lo").alias("first_ts"),
-                 F.max("hi").alias("last_ts")))
+                 F.max("hi").alias("last_ts"),
+                 F.sum("nd_idx").alias("nd_turn_idx"),
+                 F.min("lo_idx").alias("min_turn_idx"),
+                 F.max("hi_idx").alias("max_turn_idx")))
 
 
 #: Conversations longer than this many turns take the SEGMENTED streaming
@@ -293,32 +304,6 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
     # conversations — O(delta + touched partitions), never O(history)
     batch_token = "b" + hashlib.sha256(fp.encode()).hexdigest()[:12]
 
-    # ---- ordering invariant check (north_star's
-    # Window.partitionBy(conv_id).orderBy(turn_idx) contract): launched on
-    # its own thread BEFORE the stage waves so its full pass interleaves
-    # with wave compute under the FAIR scheduler instead of serializing at
-    # the end of the run (round-3 Amdahl work)
-    from threading import Thread
-
-    order_box: dict[str, int] = {}
-
-    def _order_check():
-        try:
-            order_box["violations"] = (
-                transcripts.groupBy("conv_id")
-                .agg(F.count(F.lit(1)).alias("n"),
-                     F.min("turn_idx").alias("lo"),
-                     F.max("turn_idx").alias("hi"),
-                     F.countDistinct("turn_idx").alias("nd"))
-                .filter((F.col("n") != F.col("nd"))
-                        | (F.col("hi") - F.col("lo") + 1 != F.col("n")))
-                .count())
-        except BaseException as e:           # surfaced at the join point
-            order_box["error"] = e
-
-    order_thread = Thread(target=_order_check, daemon=True)
-    order_thread.start()
-
     # ---- wave 1: the three transcripts-rooted stages run CONCURRENTLY —
     # extraction (Python-heavy), chunking (shuffle+Python), and the salted
     # stats agg interleave under the FAIR scheduler, filling each other's
@@ -506,11 +491,18 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
     tables["nodes"] = w5["nodes"]
     tables["edges"] = w5["edges"]
 
-    # ---- join the concurrent ordering-invariant check (started pre-wave-1)
-    order_thread.join()
-    if "error" in order_box:
-        raise order_box["error"]
-    order_violations = order_box["violations"]
+    # ---- ordering invariant check (north_star's
+    # Window.partitionBy(conv_id).orderBy(turn_idx) contract): a
+    # projection of the COMMITTED conv_stats output — one row per
+    # conversation, zero additional transcript passes (round 3: this was
+    # its own full scan, first serial at run end, then overlapped — both
+    # cost a whole extra read of the corpus; riding the salted
+    # aggregation costs three tiny columns)
+    order_violations = (
+        tables_conv_stats
+        .filter((F.col("n_turns") != F.col("nd_turn_idx"))
+                | (F.col("max_turn_idx") - F.col("min_turn_idx") + 1
+                   != F.col("n_turns"))).count())
 
     # ---- run_metrics table
     st.metrics.append({
