@@ -83,11 +83,39 @@ def pipeline_leg(cores: int, sf_dir: str, n_convs: int,
         spark.stop()
 
 
+def _cpu_probe() -> float:
+    """Fixed single-core workload pinned to core 0 (~1 s): its rate (kH/s)
+    quantifies host co-tenancy at that moment, so each scaling leg carries
+    a control column separating VM weather from code (round-3 VERDICT ask
+    #2 — 'quantified, not narrated')."""
+    code = ("import time,hashlib\n"
+            "h = b'x' * 64\n"
+            "t0 = time.perf_counter()\n"
+            "for i in range(300000): h = hashlib.sha256(h).digest()\n"
+            "print(300000 / (time.perf_counter() - t0))")
+    cmd = [sys.executable, "-c", code]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", "0"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True)
+    try:
+        return round(float(out.stdout.strip()) / 1000, 1)
+    except ValueError:                               # pragma: no cover
+        return -1.0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true",
                     help="run the pipeline leg at 8 and 32 cores in "
                          "subprocesses and report scaling efficiency")
+    ap.add_argument("--runs", type=int, default=1,
+                    help="with --scaling: repeat the N/4N pair this many "
+                         "times and report the full distribution + median")
+    ap.add_argument("--ab-cue-gate", action="store_true",
+                    help="A/B the round-3 cue-gate widening: run the "
+                         "pipeline leg with the production gate and with "
+                         "MPS_AB_NARROW_CUE_GATE=1 (round-2 cue-only "
+                         "semantics) and report both throughputs")
     ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--fixpoint", action="store_true",
                     help="run the pipeline WITH the extraction-fixpoint "
@@ -116,25 +144,61 @@ def main(argv=None) -> int:
         # exactly its core budget (taskset) — at local[N] on a larger box the
         # JVM's GC/shuffle/Arrow threads would otherwise borrow idle cores,
         # which no real N-core executor has, understating the 4N leg.
+        # Each leg also carries before/after single-core probe rates (kH/s)
+        # as a co-tenancy control.
         n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
-        legs = {}
-        for cores in (n_small, 4 * n_small):
-            cmd = [sys.executable, __file__, "--pipeline-only",
-                   "--cores", str(cores), "--sf-dir", args.sf_dir,
-                   "--n-convs", str(n_convs)]
-            if shutil.which("taskset"):
-                cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-            out = subprocess.run(cmd, capture_output=True, text=True,
-                                 check=True).stdout.strip().splitlines()[-1]
-            legs[cores] = json.loads(out)["pipeline"]
-        big, small = legs[4 * n_small], legs[n_small]
-        eff = big["turns_per_sec"] / (4 * small["turns_per_sec"])
+        runs = []
+        for run_i in range(args.runs):
+            legs = {}
+            for cores in (n_small, 4 * n_small):
+                probe_before = _cpu_probe()
+                cmd = [sys.executable, __file__, "--pipeline-only",
+                       "--cores", str(cores), "--sf-dir", args.sf_dir,
+                       "--n-convs", str(n_convs)]
+                if shutil.which("taskset"):
+                    cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+                out = subprocess.run(cmd, capture_output=True, text=True,
+                                     check=True).stdout.strip() \
+                    .splitlines()[-1]
+                legs[cores] = json.loads(out)["pipeline"]
+                legs[cores]["probe_khs"] = [probe_before, _cpu_probe()]
+            big, small = legs[4 * n_small], legs[n_small]
+            eff = big["turns_per_sec"] / (4 * small["turns_per_sec"])
+            run = {"efficiency": round(eff, 3), "legs": legs}
+            runs.append(run)
+            print(json.dumps({"run": run_i + 1, **run}), flush=True)
+        effs = sorted(r["efficiency"] for r in runs)
+        median = effs[len(effs) // 2] if len(effs) % 2 else round(
+            (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
         print(json.dumps({
             "metric": f"kg_pipeline_scaling_efficiency_{n_small}_to_{4 * n_small}_cores",
-            "value": round(eff, 3), "unit": "ratio", "sf": sf,
+            "value": median, "unit": "ratio", "sf": sf,
             "pinned": bool(shutil.which("taskset")),
-            "legs": legs,
+            "runs": len(runs), "efficiencies": effs, "median": median,
+            "legs": runs[-1]["legs"],
         }))
+        return 0
+
+    if args.ab_cue_gate:
+        # VERDICT round-3 ask #3: price the cue-gate widening in isolation
+        # — same HEAD, same input, one env flag, two subprocess legs.
+        legs = {}
+        for label, env_extra in (("widened", {}),
+                                 ("narrow", {"MPS_AB_NARROW_CUE_GATE": "1"})):
+            cmd = [sys.executable, __file__, "--pipeline-only",
+                   "--cores", str(args.cores), "--sf-dir", args.sf_dir,
+                   "--n-convs", str(n_convs)]
+            env = {**os.environ, **env_extra}
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 check=True, env=env).stdout.strip() \
+                .splitlines()[-1]
+            legs[label] = json.loads(out)["pipeline"]
+        ratio = round(legs["widened"]["turns_per_sec"]
+                      / legs["narrow"]["turns_per_sec"], 4)
+        print(json.dumps({
+            "metric": "cue_gate_widening_ab",
+            "value": ratio, "unit": "widened/narrow turns_per_sec ratio",
+            "sf": sf, "legs": legs}))
         return 0
 
     if args.pipeline_only:

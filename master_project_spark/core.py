@@ -39,7 +39,9 @@ divergence is possible):
 
 from __future__ import annotations
 
+import functools
 import hashlib
+import os
 import re
 import unicodedata
 from dataclasses import dataclass
@@ -217,6 +219,125 @@ try:
 except Exception:                                    # pragma: no cover
     _EMOTICONS_FAST = EMOTICONS
 
+# --- per-step match guards -------------------------------------------------
+# Profiling (round 4): the normalize chain was 47% of extract_turn, and
+# ~85% of its re.sub scans matched nothing. Each step therefore carries a
+# conjunction of cheap NECESSARY conditions ("clauses") for its pattern to
+# possibly match: a frozenset clause holds when the text's character set
+# intersects it; a tuple clause holds when any of its literal substrings
+# occurs. A failed clause PROVES pat.sub is the identity, so the scan is
+# skipped. Guards never change output — exactness is property-tested
+# against the unguarded chain (tests/test_core.py, _GUARDS_ENABLED flip).
+
+_DIGITS = frozenset("0123456789")
+_UPPER = frozenset("ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+
+
+def _fs(chars: str) -> frozenset:
+    return frozenset(chars)
+
+
+def _ci_subs(lit: str) -> tuple[str, ...]:
+    """Every case variant of a short literal — substring guards for
+    case-insensitive steps (len(lit) <= 4 keeps this tiny)."""
+    outs = [""]
+    for ch in lit:
+        cases = sorted({ch.lower(), ch.upper()})
+        outs = [o + c for o in outs for c in cases]
+    return tuple(outs)
+
+
+def _anyof_clause(literals: list[str]) -> frozenset:
+    """Greedy hitting set over the literals' case-folded charsets: a char
+    set S such that EVERY literal contains >=1 char of S (so cs ∩ S == ∅
+    proves no literal can match, case-insensitively). Both cases of each
+    chosen char go into the clause; chars whose upper/lower form isn't a
+    single char (ß-class) are skipped as candidates."""
+    remaining = [frozenset(c for c in lit.lower()
+                           if len(c.upper()) == 1 and len(c.lower()) == 1)
+                 for lit in literals]
+    chosen: set[str] = set()
+    while remaining:
+        counts: dict[str, int] = {}
+        for s in remaining:
+            for ch in s:
+                counts[ch] = counts.get(ch, 0) + 1
+        best = max(sorted(counts), key=lambda ch: counts[ch])
+        chosen.add(best)
+        remaining = [s for s in remaining if best not in s]
+    return frozenset(v for ch in chosen for v in (ch.lower(), ch.upper()))
+
+
+try:
+    _EMO_CLAUSE = _anyof_clause(EMOTICON_LITERALS)
+    # import-time soundness check: every literal must hit the clause
+    if not all(any(c in _EMO_CLAUSE for c in lit.lower() + lit.upper())
+               for lit in EMOTICON_LITERALS):
+        raise ValueError("emoticon clause does not cover all literals")
+    _EMO_GUARD: tuple = (_EMO_CLAUSE,)
+except Exception:                                    # pragma: no cover
+    _EMO_GUARD = ()                 # no guard — always run the step
+
+#: index-aligned guards for _NORMALIZE_STEPS (CNF clause lists; () = always
+#: run). Mirrors the step list construction below one-for-one.
+_STEP_GUARDS: list[tuple] = [
+    (_fs("("), _fs(")"), _DIGITS),            # GENERAL_STRIP cite (a,2019)
+    (_fs("["), _fs("]"), _DIGITS),            # GENERAL_STRIP [12,13]
+    (_fs("("), _fs(")"), _DIGITS),            # GENERAL_STRIP (1),(2)
+    _EMO_GUARD,                               # emoticons
+    (_fs(","), _fs(".")),                     # ,\. [A-Z0-9]
+    (_fs(","), _fs(".")),                     # ,\. ?[a-z0-9]
+    (_fs("@"), _fs(".")),                     # email [dot]
+    (_fs("\"'"), _fs(".!?")),                 # quoted sentence
+    # space-before-punct: a zero-space match rewrites to itself, so the
+    # step only CHANGES output when ' .', ' ,' or ' :' occurs — skipping
+    # identity rewrites is output-exact
+    ((" .", " ,", " :"),),
+    (("...",),),                              # \.{3}
+    (("..",),),                               # \.{2}
+    (("....",),),                             # \.{4,}
+    ((",,", ", ,"),),                         # comma runs
+    (_fs("("),),                              # glue-(
+    (_fs(")"),),                              # )-glue
+    (("// ",),),                              # slash runs
+    (_DIGITS, _fs(".")),                      # 1.2.3 versions
+    (_DIGITS, _UPPER, re.compile(r"[a-z]\.")),  # ABBR_CS 'Fig. 6 .'
+    (_UPPER, re.compile(r"\d\.")),            # ABBR_CS 'Fig 6.'
+    (_UPPER, re.compile(r"[a-z]\.")),         # ABBR_CS 'Word.'
+    (_fs("."), _ci_subs(" al")),              # et al.
+    (_ci_subs("vs."),),                       # vs.
+    (_ci_subs("etc."),),                      # etc.
+    (_ci_subs("eq."),),                       # Eq.
+    (_fs("["),),                              # [dot] run collapse
+    (_fs(":"), _DIGITS),                      # arXiv ids
+    (_fs("("), _fs(")"), _fs(".")),           # (..) dot slug
+    (_fs("["), _fs("]"), _fs(".")),           # [..] dot slug
+    (_fs("{"), _fs("}"), _fs(".")),           # {..} dot slug
+    (_fs('"'), _fs(".")),                     # ".." dot slug
+    (_fs("'"), _fs(".")),                     # '..' dot slug
+    (_DIGITS, _fs(".")),                      # \b\d+(\.\d+)*
+]
+
+#: tests flip this to False to verify guard exactness on arbitrary input
+_GUARDS_ENABLED = True
+
+
+def _clauses_ok(clauses: tuple, cs: set, x: str) -> bool:
+    for cl in clauses:
+        if type(cl) is frozenset:
+            if cs.isdisjoint(cl):
+                return False
+        elif type(cl) is tuple:
+            for s in cl:
+                if s in x:
+                    break
+            else:
+                return False
+        elif cl.search(x) is None:    # compiled-pattern clause
+            return False
+    return True
+
+
 # texts.py:84-113, precompiled once, EXACT order preserved (the chain is
 # order-sensitive — SURVEY §2.8 F7)
 _NORMALIZE_STEPS: list[tuple[re.Pattern, object]] = [
@@ -249,26 +370,57 @@ _NORMALIZE_STEPS: list[tuple[re.Pattern, object]] = [
         lambda m: m.group(0).replace(".", "[dot]")),            # texts.py:110
 ]
 _POSTCLEAN_STEPS = [_ci(r" \)", ")"), _ci(r"\( ", "(")]         # texts.py:112-113
+_POSTCLEAN_GUARDS: list[tuple] = [((" )",),), (("( ",),)]
 _SLUG_RESTORE_STEPS = [_ci(p, r) for p, r in SLUG_TO_ABBR]      # texts.py:116-118
+
+assert len(_STEP_GUARDS) == len(_NORMALIZE_STEPS)
+_GUARDED_STEPS = [(p, r, g)
+                  for (p, r), g in zip(_NORMALIZE_STEPS, _STEP_GUARDS)]
+_GUARDED_POSTCLEAN = [(p, r, g)
+                      for (p, r), g in zip(_POSTCLEAN_STEPS,
+                                           _POSTCLEAN_GUARDS)]
+_MULTIDOT_GUARD_RE = re.compile(r"[a-zA-Z]\.[a-zA-Z]")
 
 
 def normalize_text_chain(text: str) -> str:
     """texts.py:72-113 — the normalization chain alone (everything before
     the sentence split). Exposed separately so the streaming chunker can
-    carry a NORMALIZED remainder across segment boundaries."""
+    carry a NORMALIZED remainder across segment boundaries.
+
+    Steps run through the _STEP_GUARDS necessary-condition screen: the
+    text's charset is computed once and refreshed only when a step
+    actually modified the string (CPython's Pattern.sub returns the
+    original object on zero matches). A stale charset after clean() or a
+    deleting step is a SUPERSET of the live one, which keeps every guard
+    sound (it can only run a step needlessly, never skip a matching one);
+    inserted literals ([dot], [ellipsis]) refresh it via the identity
+    check."""
     x = deburr(text)
+    cs = set(x)
 
     # texts.py:74-83 — per-string discovered multi-dot abbreviations
     # (a.k.a., i.i.d., e.g.) -> [dot]-slugged forms. Sorted for determinism
-    # (the reference iterates a set).
-    found = sorted(set(_MULTIDOT_RE.findall(x)), key=lambda s: (-len(s), s))
-    for abbr in found:
-        x = re.sub(re.escape(abbr), abbr.replace(".", "[dot]"), x)
+    # (the reference iterates a set). Guard: the pattern's minimal form is
+    # 'x.y.' — it always contains letter-dot-letter.
+    if not _GUARDS_ENABLED or _MULTIDOT_GUARD_RE.search(x) is not None:
+        found = sorted(set(_MULTIDOT_RE.findall(x)),
+                       key=lambda s: (-len(s), s))
+        for abbr in found:
+            x = re.sub(re.escape(abbr), abbr.replace(".", "[dot]"), x)
+        if found:
+            cs = set(x)
 
-    for pat, repl in _NORMALIZE_STEPS:
-        x = pat.sub(repl, x)
-    x = clean(x)  # texts.py:111
-    for pat, repl in _POSTCLEAN_STEPS:
+    for pat, repl, clauses in _GUARDED_STEPS:
+        if _GUARDS_ENABLED and not _clauses_ok(clauses, cs, x):
+            continue
+        y = pat.sub(repl, x)
+        if y is not x:
+            x = y
+            cs = set(x)
+    x = clean(x)  # texts.py:111 (only removes chars — charset stays a superset)
+    for pat, repl, clauses in _GUARDED_POSTCLEAN:
+        if _GUARDS_ENABLED and not _clauses_ok(clauses, cs, x):
+            continue
         x = pat.sub(repl, x)
     return x
 
@@ -283,8 +435,11 @@ def split_normalized(x: str) -> tuple[list[str], str]:
     sentences = [s for s in matches if len(s.split(" ")) >= 4]  # texts.py:115
     restored = []
     for s in sentences:
-        for pat, repl in _SLUG_RESTORE_STEPS:
-            s = pat.sub(repl, s)
+        # every SLUG_TO_ABBR pattern is bracket-delimited ('\[...\]'), so
+        # '[' is a shared necessary condition for the whole restore loop
+        if "[" in s or not _GUARDS_ENABLED:
+            for pat, repl in _SLUG_RESTORE_STEPS:
+                s = pat.sub(repl, s)
         restored.append(s.strip())  # texts.py:119
     return restored, remainder
 
@@ -579,15 +734,45 @@ _DELETION_TRIGGER_RE = re.compile(
     re.IGNORECASE)
 
 
+#: A/B bench switch (round-4 VERDICT ask #3): "1" reverts the gate to the
+#: round-2 cue-only semantics so bench.py can price the round-3 widening
+#: (deletion-trigger fall-through) in isolation. NEVER set in production —
+#: the narrow gate drops turns whose cue only appears after normalization.
+#: Read at import so Spark's Python workers (separate processes that
+#: re-import this module) see the same gate as the driver.
+_AB_NARROW_CUE_GATE = os.environ.get("MPS_AB_NARROW_CUE_GATE") == "1"
+
+
 def turn_may_extract(text: str) -> bool:
     """Cheap necessary condition for extraction output (hot-path gate)."""
     d = deburr(text)
-    return bool(_CUE_RE.search(d)) or bool(_DELETION_TRIGGER_RE.search(d))
+    if _CUE_RE.search(d):
+        return True
+    if _AB_NARROW_CUE_GATE:
+        return False
+    return bool(_DELETION_TRIGGER_RE.search(d))
+
+
+def java_cue_gate_pattern() -> str:
+    """The turn_may_extract gate as ONE Java regex (Spark ``rlike``) for
+    the JVM-side extract prefilter (VERDICT round-3 ask #1): on ASCII text
+    it is exactly equivalent to the Python gate (deburr is the identity
+    there and ``(?i)`` matches Python's ASCII casefold); non-ASCII text is
+    handled by the caller keeping every such row (deburr can only be
+    evaluated Python-side). Both regex dialects accept the same pattern
+    source: plain alternations, character classes, bounded repeats, and
+    escaped literals only — validated against java.util.regex at pipeline
+    setup (pipeline.cue_prefilter_condition)."""
+    body = _CUE_RE.pattern if _AB_NARROW_CUE_GATE else (
+        _CUE_RE.pattern + "|" + _DELETION_TRIGGER_RE.pattern)
+    return "(?i)(?:" + body + ")"
 
 
 def strip_citation_parentheticals(text: str) -> str:
     """ent_extraction.py:333-336 — remove parentheticals that look like
     author-year citations; keep all other parentheticals (e.g. aliases)."""
+    if "(" not in text:    # necessary-condition guard (hot surface path)
+        return text
     for inner in _CITE_PAREN_RE.findall(text):
         if not _CITE_INNER_RE.search(f"({inner})"):
             continue
@@ -600,9 +785,12 @@ def strip_et_al(text: str) -> str:
     return re.sub(r" \w+ et\.? al\.", "", text, flags=re.IGNORECASE)
 
 
+@functools.lru_cache(maxsize=8192)
 def entity_ok(surface: str) -> bool:
     """P3 — ent_extraction.py:340-344: <10 words, no 'et al.'; plus the
-    stop-entity screen for sentence-initial capitalized function words."""
+    stop-entity screen for sentence-initial capitalized function words.
+    Pure function of the surface; memoized — captured surfaces repeat
+    heavily (the entity vocabulary is tiny next to the corpus)."""
     if not surface or "et al." in surface:
         return False
     toks = surface.split(" ")
@@ -613,9 +801,18 @@ def entity_ok(surface: str) -> bool:
     return True
 
 
+@functools.lru_cache(maxsize=8192)
 def _clean_surface(surface: str) -> str:
+    """Pure; memoized — the triple AND mention derivations clean the same
+    captured groups, and surfaces repeat across turns."""
     s = strip_et_al(strip_citation_parentheticals(surface))
     return clean(s.strip(" ,.;:"))
+
+
+#: shared necessary condition for _is_et_al_author: the sentence must
+#: contain an 'et al.' occurrence at all — computed once per sentence by
+#: the derivations below instead of per captured surface
+_ET_AL_ANY_RE = re.compile(r"et\.? al\.", re.IGNORECASE)
 
 
 def _is_et_al_author(surface: str, sentence: str) -> bool:
@@ -635,9 +832,17 @@ SELF_SUBJECT = "self"
 
 def _scan_sentences(sentences: list[str]) -> list[list[tuple]]:
     """One finditer pass of every TRIPLE_PATTERN per sentence; both the
-    triple and the mention derivations consume this shared scan."""
+    triple and the mention derivations consume this shared scan.
+
+    Sentences with no cue word are skipped outright: _CUE_RE is a
+    necessary condition for every TRIPLE_PATTERNS branch (each alternation
+    arm contains a cue literal), so the skip is exact — property-tested in
+    tests/test_core.py. The turn-level gate passes whole turns where only
+    SOME sentences carry cues; this per-sentence screen spares the other
+    sentences the 10 compiled-pattern scans."""
     return [[(pat, m) for pat in TRIPLE_PATTERNS
              for m in pat.regex.finditer(sentence)]
+            if _CUE_RE.search(sentence) else []
             for sentence in sentences]
 
 
@@ -671,6 +876,9 @@ def _triples_from_sentences(sentences: list[str],
     scans = scans if scans is not None else _scan_sentences(sentences)
     out: dict[tuple[str, str, str], dict] = {}
     for sent_idx, sentence in enumerate(sentences):
+        if not scans[sent_idx]:
+            continue
+        sent_has_etal = bool(_ET_AL_ANY_RE.search(sentence))
         sent_out: dict[tuple[str, str, str], dict] = {}
         for pat, m in scans[sent_idx]:
             if pat.has_subj:
@@ -685,8 +893,9 @@ def _triples_from_sentences(sentences: list[str],
                 continue
             if subj == obj:
                 continue
-            if _is_et_al_author(obj, sentence) or (
-                    subj != SELF_SUBJECT and _is_et_al_author(subj, sentence)):
+            if sent_has_etal and (_is_et_al_author(obj, sentence) or (
+                    subj != SELF_SUBJECT
+                    and _is_et_al_author(subj, sentence))):
                 continue
             key = (subj, pat.pred, obj)
             prev = sent_out.get(key)
@@ -725,13 +934,15 @@ def _mentions_from_sentences(sentences: list[str],
     mentions: dict[tuple[str, str], dict] = {}
     offset = 0
     for sent_idx, sentence in enumerate(sentences):
+        sent_has_etal = (bool(_ET_AL_ANY_RE.search(sentence))
+                         if scans[sent_idx] else False)
         for pat, m in scans[sent_idx]:
             groups = [m.group(1)] + ([m.group(2)] if pat.has_subj else [])
             for g in groups:
                 surface = _clean_surface(g)
                 if not entity_ok(surface) or surface in STOP_ENTS:
                     continue
-                if _is_et_al_author(surface, sentence):
+                if sent_has_etal and _is_et_al_author(surface, sentence):
                     continue
                 key = (surface, pat.mtype)
                 if key in mentions:

@@ -109,6 +109,32 @@ def conv_stats_df(transcripts: DataFrame) -> DataFrame:
                  F.max("hi_idx").alias("max_turn_idx")))
 
 
+def cue_prefilter_condition(spark: SparkSession):
+    """JVM-side prefilter for the extract stage (round-3 VERDICT ask #1:
+    the extract UDF is ~91% of the narrow-cluster wall, and every turn
+    crossed the Arrow boundary just to be rejected by the Python cue gate).
+
+    Keeps (a) every row matching the Java translation of
+    core.turn_may_extract — exact on ASCII text, where deburr is the
+    identity and ``(?i)`` equals Python's ASCII casefold — and (b) every
+    non-ASCII row, because only Python can run deburr; the in-UDF gate
+    still decides those. Rows the gate rejects emit ZERO extract output
+    (core.extract_turn returns ([], []) for them), so filtering them
+    JVM-side is output-exact — property-tested in tests/test_pipeline.py.
+
+    Returns None (caller skips the prefilter) if the JVM regex dialect
+    ever rejects the translated pattern — correctness never depends on
+    the translation."""
+    pat = core.java_cue_gate_pattern()
+    try:
+        spark._jvm.java.util.regex.Pattern.compile(pat)
+    except Exception:                                # pragma: no cover
+        return None
+    # cue-alternation first: cheap and matches most surviving rows, so the
+    # Or short-circuits before the non-ASCII scan
+    return F.col("text").rlike(pat) | F.col("text").rlike("[^\\x00-\\x7F]")
+
+
 #: Conversations longer than this many turns take the SEGMENTED streaming
 #: path — bounded row sizes instead of one conversation-sized row
 CHUNK_SEG_TURNS = 4096
@@ -221,12 +247,24 @@ class _StageRunner:
                     for name, compute, kw in jobs}
             return {name: f.result() for name, f in futs.items()}
 
-    def run(self, name: str, compute, partition_by: list[str] | None = None,
-            extra: str = "") -> DataFrame:
-        snapshot_id = hashlib.sha256(
+    def snapshot_id(self, name: str, extra: str = "") -> str:
+        return hashlib.sha256(
             f"{name}:{self.base_token}:{extra}".encode()).hexdigest()[:16]
+
+    def is_current(self, name: str, extra: str = "") -> bool:
+        """True when the table is committed at THIS run's snapshot (i.e.
+        run() would skip-resume it)."""
+        return self.io.is_committed(name, self.snapshot_id(name, extra))
+
+    def run(self, name: str, compute, partition_by: list[str] | None = None,
+            extra: str = "", force: bool = False) -> DataFrame:
+        """``force=True`` recomputes even when the snapshot is current —
+        for stages whose side-products feed a SIBLING commit that is
+        missing or stale (the fixpoint/chunk_embeddings pair)."""
+        snapshot_id = self.snapshot_id(name, extra)
         t0 = time.perf_counter()
-        if self.resume and self.io.is_committed(name, snapshot_id):
+        if self.resume and not force and self.io.is_committed(name,
+                                                              snapshot_id):
             manifest = self.io.manifest(name)
             self.metrics.append({
                 "run_id": self.run_id, "stage": name,
@@ -289,6 +327,11 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
     # ONE pandas pass emits both triple and mention rows (kind column);
     # splitting into tables is JVM-side filter+project.
     turns = transcripts.select("conv_id", "turn_idx", "ts", "text")
+    # JVM cue-gate prefilter: gate-rejected turns never reach Arrow. Placed
+    # BEFORE the repartition so the shuffle moves only surviving rows.
+    pre = cue_prefilter_condition(spark)
+    if pre is not None:
+        turns = turns.filter(pre)
     # partition-count probe without building an RDD conversion plan for the
     # common file-backed case: inputFiles() is a metadata-only lookup
     # (parquet scans split at maxPartitionBytes, so n_files lower-bounds the
@@ -427,15 +470,25 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
             fixpoint_info.update(info)
             return ents
 
+        # fixpoint_entities + chunk_embeddings are an atomic PAIR for
+        # resume: the embeddings are a side-product of the fixpoint run
+        # (embed-once cache), unrecoverable without re-running it. A crash
+        # between the two commits previously left the resumed run with a
+        # skip-resumed fixpoint, an empty cache, and either a silently
+        # missing table or an io.commit(None) crash on a stale manifest
+        # (ADVICE round-4 low) — so when the embeddings commit is missing
+        # or stale, FORCE the fixpoint recompute to refill the cache.
+        force_fix = (st.resume
+                     and st.is_current("fixpoint_entities", alias_fp)
+                     and not st.is_current("chunk_embeddings", alias_fp))
         tables["fixpoint_entities"] = st.run(
-            "fixpoint_entities", _fixpoint, extra=alias_fp)
-        # commit the embed-once corpus embeddings alongside (lineage +
-        # reuse by later retrieval jobs). When the fixpoint stage was
-        # skip-resumed the cache is empty — the committed table from the
-        # prior run is served by the same snapshot check (any snapshot
-        # mismatch implies the fixpoint recomputed, refilling the cache).
+            "fixpoint_entities", _fixpoint, extra=alias_fp, force=force_fix)
+        # When both are current, run() skip-serves the committed table and
+        # never calls the lambda; when the fixpoint recomputed, the cache
+        # is live. The cache can only be empty here if no fixpoint corpus
+        # had any rows — nothing to commit.
         if embed_cache.df is not None \
-                or io.manifest("chunk_embeddings") is not None:
+                or st.is_current("chunk_embeddings", alias_fp):
             tables["chunk_embeddings"] = st.run(
                 "chunk_embeddings", lambda: embed_cache.df, extra=alias_fp)
 
@@ -498,11 +551,26 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
     # its own full scan, first serial at run end, then overlapped — both
     # cost a whole extra read of the corpus; riding the salted
     # aggregation costs three tiny columns)
-    order_violations = (
-        tables_conv_stats
-        .filter((F.col("n_turns") != F.col("nd_turn_idx"))
-                | (F.col("max_turn_idx") - F.col("min_turn_idx") + 1
-                   != F.col("n_turns"))).count())
+    if "nd_turn_idx" in tables_conv_stats.columns:
+        order_violations = (
+            tables_conv_stats
+            .filter((F.col("n_turns") != F.col("nd_turn_idx"))
+                    | (F.col("max_turn_idx") - F.col("min_turn_idx") + 1
+                       != F.col("n_turns"))).count())
+    else:
+        # resumed against a pre-widening conv_stats commit (round <=2
+        # schema without the folded order-check columns, ADVICE round-4
+        # low): fall back to the standalone aggregation — one extra
+        # transcript pass, paid only on legacy output dirs
+        order_violations = (
+            transcripts.groupBy("conv_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("turn_idx").alias("nd"),
+                 F.min("turn_idx").alias("lo"),
+                 F.max("turn_idx").alias("hi"))
+            .filter((F.col("n") != F.col("nd"))
+                    | (F.col("hi") - F.col("lo") + 1 != F.col("n")))
+            .count())
 
     # ---- run_metrics table
     st.metrics.append({

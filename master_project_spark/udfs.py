@@ -13,6 +13,7 @@ the Spark analog of the reference's module-level embedder (texts.py:122).
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Iterator
 
 import pandas as pd
@@ -69,6 +70,19 @@ EXTRACTED_SCHEMA = T.StructType([
 ])
 
 
+@functools.lru_cache(maxsize=65536)
+def _extract_turn_memo(text: str) -> tuple[list[dict], list[dict]]:
+    """Per-worker memo of core.extract_turn. Agent transcripts repeat
+    boilerplate turns (system prompts, tool headers, canned replies)
+    verbatim, so identical texts extract once per Python worker process —
+    semantically exact because extraction is a pure function of the text.
+    Callers treat the returned structures as immutable. Bounded at 64k
+    entries (~tens of MB at typical turn sizes); at 100 TB each executor's
+    workers keep an independent cache, so hit rate tracks per-partition
+    duplication with zero coordination."""
+    return core.extract_turn(text)
+
+
 def extract_turn_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas: ONE normalization + pattern scan per turn emitting both
     triple ('T') and mention ('M') rows — halves the text-processing cost
@@ -78,7 +92,7 @@ def extract_turn_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         rows = []
         for conv_id, turn_idx, ts, text in zip(
                 pdf["conv_id"], pdf["turn_idx"], pdf["ts"], pdf["text"]):
-            triples, mentions = core.extract_turn(text or "")
+            triples, mentions = _extract_turn_memo(text or "")
             for t in triples:
                 rows.append((conv_id, turn_idx, ts, "T", t["subj"], t["pred"],
                              t["obj"], t["confidence"], t["mtype"],

@@ -323,3 +323,56 @@ def test_emoticon_trie_exactly_equals_reference_alternation():
         x = core.normalize_text_chain(r["text"])
         y = orig.sub("", core.deburr(r["text"]))  # spot: both strip the same
         assert ":-)" not in x
+
+
+def test_normalize_guards_are_exact():
+    """Round-4 perf: every _STEP_GUARDS clause must be a NECESSARY
+    condition for its step to change the output — the guarded chain and
+    the unguarded chain (and full extraction through both) must agree on
+    the generated corpus plus adversarial trigger texts."""
+    from master_project_spark import core
+    from master_project_spark.datagen import gen_transcripts
+
+    texts = [r["text"] for r in gen_transcripts(120, 25, seed=17)]
+    texts += [
+        "", " ", "trai(Smith 2020)ned on SQuAD for months and months now",
+        "évaluated on SQuAD properly énough for everyone involved",
+        "a.k.a. i.i.d. e.g. vs. etc. Eq. 4 ... .... ,, , , // /// x",
+        'He said "it works." :-) (1),(2) [12,13] (Smith 2019) 1.2.3',
+        "We trained X et al. on Y carefully and fully", "Ok sure.",
+        "arXiv:1234.5678 [cs.CL] trained on the weird corpus yesterday",
+        "{a.b} 'c.d' \"e.f\" (g.h) [i.j] tested on MNIST today quickly",
+        "Fig. 6. The model was tested on GLUE again here",
+        "vs. VS. Vs. vS. eTc. EQ. eq.", "x@y.z a , , b ,. C ,. d",
+        "We compared X 6. Then stuff happened here today ok",
+        "spaced . punct , here : fine (paren )glue",
+    ]
+    try:
+        for t in texts:
+            core._GUARDS_ENABLED = True
+            g_norm = core.normalize_text_chain(t)
+            g_ext = core.extract_turn(t)
+            core._GUARDS_ENABLED = False
+            assert core.normalize_text_chain(t) == g_norm, repr(t[:80])
+            assert core.extract_turn(t) == g_ext, repr(t[:80])
+            core._GUARDS_ENABLED = True
+    finally:
+        core._GUARDS_ENABLED = True
+
+
+def test_sentence_cue_gate_is_necessary_for_every_pattern():
+    """_scan_sentences skips sentences without a _CUE_RE hit; that is
+    exact only if every TRIPLE_PATTERNS branch requires a cue word. Verify
+    on corpus sentences AND assert emptiness of pattern matches on every
+    cue-free sentence encountered."""
+    from master_project_spark import core
+    from master_project_spark.datagen import gen_transcripts
+
+    n_cuefree = 0
+    for r in gen_transcripts(120, 25, seed=23):
+        for s in core.normalize_and_split(r["text"]):
+            if not core._CUE_RE.search(s):
+                n_cuefree += 1
+                for pat in core.TRIPLE_PATTERNS:
+                    assert pat.regex.search(s) is None, (pat.pred, s)
+    assert n_cuefree > 50  # the corpus must actually exercise the skip

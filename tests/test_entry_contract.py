@@ -56,5 +56,25 @@ def test_query_matches_oracle(spark, duck, name):
 def test_entry_smoke(spark):
     df = entry.entry(spark)
     rows = df.collect()
-    assert len(rows) >= 0
+    assert len(rows) > 0
     assert df.schema.fieldNames() == ["subj", "pred", "obj", "lang", "weight"]
+    # round-4 ask #6: the driver-executed flagship must exercise the
+    # pandas/Arrow path — the plan carries the mapInPandas extract node
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+    # deterministic across invocations (the driver compares runs)
+    again = entry.entry(spark).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_entry_arrow_extraction_equals_sql_twin(spark):
+    """The flagship's mapInPandas extraction is row-for-row identical to
+    the pure-SQL regexp_extract_all form (its in-contract oracle,
+    pattern_triples)."""
+    from master_project_spark import entry_queries as EQ
+
+    sf_dir = "/root/testdata/sf0.001"
+    arrow = sorted(map(tuple, EQ.pattern_triples_arrow(spark, sf_dir)
+                       .collect()))
+    sql = sorted(map(tuple, EQ.pattern_triples(spark, sf_dir).collect()))
+    assert arrow == sql and len(arrow) > 0

@@ -493,3 +493,169 @@ def test_stateful_conversation_progress(spark, tmp_path):
         assert n_triples == want_triples.get(conv_id, 0)
         assert last_idx == want_last[conv_id]
         assert closed is False  # no idle timeout elapsed in-test
+
+
+def test_jpeg_sof_dimensions_real_header():
+    """Round-4 ask #7: JPEG width/height come from a REAL SOF marker walk
+    (luma stays the documented stand-in). Fixture bytes are a hand-built
+    minimal JPEG: SOI + APP0 + DQT + SOF0(17x23) + SOS stub + EOI."""
+    import struct
+    from master_project_spark.operators.multimodal import (_decode_image,
+                                                           _jpeg_dimensions)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) \
+            + payload
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, b"\x00" + bytes(64))
+    sof0 = seg(0xC0, b"\x08" + struct.pack(">HH", 23, 17)   # h=23, w=17
+               + b"\x03\x01\x11\x00\x02\x11\x00\x03\x11\x00")
+    jpg = b"\xff\xd8" + app0 + dqt + sof0 + seg(0xDA, b"\x01\x01\x00") \
+        + b"\xff\xd9"
+    assert _jpeg_dimensions(jpg) == (17, 23)
+    w, h, luma = _decode_image(jpg)
+    assert (w, h) == (17, 23)
+    assert 0.0 <= luma <= 1.0
+    # progressive (SOF2) works too
+    jpg2 = jpg.replace(b"\xff\xc0", b"\xff\xc2")
+    assert _jpeg_dimensions(jpg2) == (17, 23)
+
+
+def test_corrupt_images_fall_back_never_raise(spark):
+    """ADVICE (medium, round 4): any undecodable payload must fall back to
+    the deterministic stand-in instead of raising — one bad image cannot
+    fail the whole Spark stage."""
+    import struct
+    import zlib
+    from master_project_spark.operators import multimodal
+    from master_project_spark.operators.multimodal import _decode_image
+
+    good = _encode_png([[(10, 20, 30)] * 4] * 3, ctype=2)
+    bad = [
+        good[:40],                                    # truncated PNG (zlib)
+        b"\x89PNG\r\n\x1a\n" + _png_chunk(            # 16-bit depth PNG
+            b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + _png_chunk(b"IEND", b""),
+        b"BM" + b"\x00" * 20,                         # short BMP header
+        b"BM" + b"\x00" * 12 + struct.pack("<ii", 4, 4)
+        + b"\x00" * 2 + struct.pack("<H", 24) + struct.pack("<I", 1)
+        + b"\x00" * 20,                               # RLE BMP
+        b"P6 2 2 65535\n" + b"\x00" * 24,             # 16-bit PPM
+        b"P6 2 2 255\n" + b"\x00" * 3,                # short PPM raster
+        b"\xff\xd8\xff\xd9",                          # JPEG with no SOF
+        b"",                                          # empty payload
+    ]
+    for payload in bad:
+        w, h, luma = _decode_image(payload)           # must not raise
+        assert w > 0 and h > 0 and 0.0 <= luma <= 1.0
+
+    # and through the actual Spark stage: one good + all bad completes
+    rows = [("ok", "image", bytearray(good), "{}")] + [
+        (f"bad{i}", "image", bytearray(p), "{}")
+        for i, p in enumerate(bad)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in
+             multimodal.image_features(media).collect()}
+    assert len(feats) == 1 + len(bad)
+    assert (feats["ok"]["width"], feats["ok"]["height"]) == (4, 3)
+
+
+def test_png_unfilter_vectorized_matches_scalar_and_is_faster():
+    """Round-4 ask #8: the numpy Up/Sub unfilter paths must be
+    byte-identical to the scalar reference and materially faster on a
+    1024x1024 RGB image."""
+    import time
+    from master_project_spark.operators.multimodal import _png_unfilter
+
+    def scalar_unfilter(raw, width, height, bpp):
+        # the pre-round-4 per-byte reference implementation
+        stride = width * bpp
+        out = bytearray(height * stride)
+        pos = 0
+        for y in range(height):
+            ftype = raw[pos]; pos += 1
+            line = bytearray(raw[pos:pos + stride]); pos += stride
+            prev_off = (y - 1) * stride
+            if ftype == 1:
+                for i in range(bpp, stride):
+                    line[i] = (line[i] + line[i - bpp]) & 0xFF
+            elif ftype == 2:
+                if y:
+                    for i in range(stride):
+                        line[i] = (line[i] + out[prev_off + i]) & 0xFF
+            elif ftype == 3:
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    b = out[prev_off + i] if y else 0
+                    line[i] = (line[i] + ((a + b) >> 1)) & 0xFF
+            elif ftype == 4:
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    b = out[prev_off + i] if y else 0
+                    c = out[prev_off + i - bpp] if (y and i >= bpp) else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                    line[i] = (line[i] + pr) & 0xFF
+            out[y * stride:(y + 1) * stride] = line
+        return out
+
+    import random
+    rng = random.Random(5)
+    w = h = 96                          # full filter matrix, all 5 types
+    bpp = 3
+    raw = bytearray()
+    for y in range(h):
+        raw.append(y % 5)
+        raw.extend(rng.randrange(256) for _ in range(w * bpp))
+    assert bytes(_png_unfilter(bytes(raw), w, h, bpp)) == \
+        bytes(scalar_unfilter(bytes(raw), w, h, bpp))
+
+    # throughput on the photographic common case (Sub/Up rows), 1024^2 RGB
+    w = h = 1024
+    raw = bytearray()
+    for y in range(h):
+        raw.append(1 if y % 2 else 2)
+        raw.extend((y * 31 + i) % 256 for i in range(w * bpp))
+    raw = bytes(raw)
+    t0 = time.perf_counter(); fast = _png_unfilter(raw, w, h, bpp)
+    t_fast = time.perf_counter() - t0
+    t0 = time.perf_counter(); slow = scalar_unfilter(raw, w, h, bpp)
+    t_slow = time.perf_counter() - t0
+    assert bytes(fast) == bytes(slow)
+    ratio = t_slow / max(t_fast, 1e-9)
+    print(f"png_unfilter 1024x1024 RGB speedup: {ratio:.1f}x "
+          f"({t_slow:.3f}s -> {t_fast:.3f}s)")
+    assert ratio >= 2.0, ratio          # >=5x typical; 2x floor for CI noise
+
+
+def test_ann_ivf_trained_query_exact_vs_oracle_quantizer(spark):
+    """Round-4 ask #5: the trained-quantizer IVF contract entry
+    (entry_queries.ann_ivf_trained_topk) equals, row-for-row, the same
+    probe/rescore fed by the independently computed NumPy-oracle
+    centroids — the production index-build path is pytest-EXACT."""
+    from master_project_spark.entry_queries import ann_ivf_trained_topk
+    from master_project_spark.operators.similarity import ivf_ann_topk
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = sorted(map(tuple, ann_ivf_trained_topk(spark, sf_dir).collect()))
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c = e.filter(F.col("vec_id") >= 8)
+    rows = (c.withColumn("h", F.xxhash64("vec_id"))
+            .orderBy("h", "vec_id").limit(8 * 64)
+            .select("vec_id", "embedding").collect())
+    ids = [r["vec_id"] for r in rows]
+    vecs = [[float(x) for x in r["embedding"]] for r in rows]
+    oracle_cents = _np_kmeans_oracle(ids, vecs, n_cells=8, n_iter=3)
+    cents_df = spark.createDataFrame(
+        [(i, [float(x) for x in cv]) for i, cv in enumerate(oracle_cents)],
+        "cell_id int, cv array<double>")
+    want = sorted(map(tuple, ivf_ann_topk(
+        e.filter(F.col("vec_id") < 8), c, k=10, n_cells=8, nprobe=2,
+        centroids=cents_df)
+        .withColumn("rank", F.col("rank").cast("int")).collect()))
+    assert got == want and len(got) > 0

@@ -255,3 +255,39 @@ def test_node_alias_merge_cap_semantics(spark, tmp_path):
     for r in spark.read.parquet(f"{out}/nodes").collect():
         assert len(r["aliases"]) <= ALIAS_CAP
         assert r["n_aliases"] >= len(r["aliases"])
+
+
+def test_jvm_cue_prefilter_matches_python_gate(spark):
+    """Round-4 ask #1: the rlike prefilter must keep EVERY row the Python
+    gate passes (output-exactness), and on ASCII text it must equal the
+    gate exactly (the non-ASCII keep-all branch is the only slack)."""
+    from master_project_spark import core
+    from master_project_spark.datagen import gen_transcripts
+    from master_project_spark.pipeline import cue_prefilter_condition
+
+    texts = [r["text"] for r in gen_transcripts(60, 20, seed=41)]
+    texts += [
+        "Wé tráined the módel on SQuAD with great care today.",  # non-ASCII cue
+        "Ünrelated wörds with nö cues at all hönestly.",         # non-ASCII no cue
+        "No relevant verbs at all in this sentence, honestly.",  # ASCII no cue
+        "trai(Smith 2020)ned on SQuAD daily.",                   # deletion trigger
+        "Great :-) thanks!", "....", "", "   ", "Ok sure.",
+        "the word use inside because of gate over-inclusion",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)] + [(len(texts), None)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    cond = cue_prefilter_condition(spark)
+    assert cond is not None, "JVM rejected the translated gate pattern"
+    kept = {r["id"] for r in df.filter(cond).select("id").collect()}
+
+    for i, t in enumerate(texts):
+        py = core.turn_may_extract(t)
+        if py:
+            assert i in kept, f"prefilter dropped a gate-passing row: {t!r}"
+        elif t.isascii():
+            assert i not in kept, f"ASCII prefilter not exact: {t!r}"
+        # non-ASCII gate-failing rows MAY be kept (Python re-gates them)
+    assert len(texts) not in kept       # null text drops (extracts nothing)
+    # the corpus must exercise both directions
+    assert any(i not in kept for i in range(len(texts)))
+    assert any(i in kept for i in range(len(texts)))

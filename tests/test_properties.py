@@ -67,3 +67,19 @@ def test_minhash_signature_shape(text):
     assert len(sig) == 16
     assert all(0 <= s < 2 ** 63 for s in sig)
     assert sig == core.minhash_signature(text)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=string.printable + "éàüßñ°☆^ゞ丿メ", max_size=300))
+def test_guarded_normalize_equals_unguarded(text):
+    """Hypothesis sweep of the round-4 step guards: guarded and unguarded
+    normalization chains agree on arbitrary printable+unicode text."""
+    try:
+        core._GUARDS_ENABLED = True
+        g = core.normalize_text_chain(text)
+        ge = core.extract_turn(text)
+        core._GUARDS_ENABLED = False
+        assert core.normalize_text_chain(text) == g
+        assert core.extract_turn(text) == ge
+    finally:
+        core._GUARDS_ENABLED = True
