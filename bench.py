@@ -157,9 +157,16 @@ def main(argv=None) -> int:
                        "--n-convs", str(n_convs)]
                 if shutil.which("taskset"):
                     cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-                out = subprocess.run(cmd, capture_output=True, text=True,
-                                     check=True).stdout.strip() \
-                    .splitlines()[-1]
+                for attempt in (1, 2):    # one retry: transient JVM-start
+                    r = subprocess.run(cmd, capture_output=True, text=True)
+                    if r.returncode == 0:
+                        break
+                    print(f"# leg cores={cores} attempt {attempt} failed "
+                          f"rc={r.returncode}: {r.stderr[-500:]}",
+                          file=sys.stderr, flush=True)
+                else:
+                    raise RuntimeError(f"leg cores={cores} failed twice")
+                out = r.stdout.strip().splitlines()[-1]
                 legs[cores] = json.loads(out)["pipeline"]
                 legs[cores]["probe_khs"] = [probe_before, _cpu_probe()]
             big, small = legs[4 * n_small], legs[n_small]

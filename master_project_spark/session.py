@@ -56,7 +56,15 @@ def get_spark(cores: int | None = None, app_name: str = "master_project_spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 2000 (down from the 10000 default): smaller Arrow batches overlap
+        # JVM serialization with Python compute inside each task and cut the
+        # per-batch resident footprint; measured on the isolated extract
+        # stage (9.33M turns, pinned 16 cores): 104.8 s @10000 -> 96.7 s
+        # @2000 (-8%), with 500 over-fragmenting (106.7 s). Wide
+        # configurations benefit most — exactly the production shape.
+        # Callers with very wide rows (binary media) should lower it
+        # further via extra_conf (operators/multimodal.py docstring).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
