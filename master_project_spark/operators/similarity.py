@@ -115,8 +115,15 @@ def kmeans_centroids(corpus: DataFrame, n_cells: int = 8, n_iter: int = 5,
     norms = [float(np.linalg.norm(v)) for v in svecs]
 
     def cos6(i: int, j: int) -> float:
-        return round(float(np.dot(svecs[i], svecs[j]))
-                     / (norms[i] * norms[j]), 6)
+        # zero-norm guard (ADVICE round-4): a zero vector in the sample
+        # must not raise on the driver — treat its similarity as 0.0, the
+        # same "unrelated" value the Spark-SQL scorers yield after their
+        # NULL-division is coalesced away by ranking (mirrored in the
+        # NumPy oracle, tests/test_operators.py::_np_kmeans_oracle)
+        d = norms[i] * norms[j]
+        if d == 0.0:
+            return 0.0
+        return round(float(np.dot(svecs[i], svecs[j])) / d, 6)
 
     chosen = [0]                                  # lowest-id sample vector
     best = [cos6(i, 0) for i in range(len(svecs))]

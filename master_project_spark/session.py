@@ -8,6 +8,8 @@ UTC session timezone (oracle comparisons), shuffle partitions sized to cores.
 from __future__ import annotations
 
 import os
+import re
+import sys
 from pathlib import Path
 
 from pyspark.sql import SparkSession
@@ -19,6 +21,12 @@ def get_spark(cores: int | None = None, app_name: str = "master_project_spark",
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
     master = f"local[{cores}]" if cores else "local[*]"
+    # SPARK_GRAFT_MASTER overrides the master verbatim — used by the
+    # scaling protocol's local-cluster legs (real separate executor JVMs:
+    # own heap, block manager, and Python worker pool per executor, the
+    # per-executor data plane local[N] lacks). `cores` still sizes
+    # shuffle_partitions below so both substitutions plan identically.
+    master = os.environ.get("SPARK_GRAFT_MASTER") or master
 
     # Executor Python workers must be able to import this package for the
     # pandas UDFs regardless of the driver's cwd (spark-submit --py-files
@@ -69,6 +77,20 @@ def get_spark(cores: int | None = None, app_name: str = "master_project_spark",
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
     )
+    m = re.match(r"local-cluster\[(\d+),(\d+),(\d+)\]", master)
+    if m:
+        # standalone-style executors need explicit sizing: executor heap
+        # just under the worker's memory grant (the known local-cluster
+        # requirement — the 1g default would reject oversized executors),
+        # and the same interpreter for the executor-side Python workers.
+        worker_mem_mb = int(m.group(3))
+        builder = builder.config(
+            "spark.executor.memory", f"{max(512, worker_mem_mb - 1024)}m")
+        os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+        # standalone workers read SPARK_LOCAL_DIRS, not spark.local.dir —
+        # keep executor shuffle/spill on the same tmpfs as local mode
+        if local_dir:
+            os.environ.setdefault("SPARK_LOCAL_DIRS", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

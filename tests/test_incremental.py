@@ -445,6 +445,14 @@ def test_skey_lookup_shuffles_only_delta(spark):
              .join(skeyed.select("skey").distinct(), "skey"))
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, naive.collect()))
+
+    # ADVICE round-4: past the row limit the broadcast hint is DROPPED
+    # (AQE picks the strategy — tolerant of either join impl); results
+    # must be identical either way
+    unforced = _skey_entity_lookup(entity_map, skeyed,
+                                   n_delta_hint=10_000_000)
+    assert sorted(map(tuple, unforced.collect())) == \
+        sorted(map(tuple, naive.collect()))
     # dataflow fixes the shape (the groupBy consumes the semi-join output),
     # so the broadcast LeftSemi's presence IS the O(delta) contract: a
     # regression to aggregating the full entity_map would drop the join

@@ -153,9 +153,10 @@ def _np_kmeans_oracle(ids, vecs, n_cells, n_iter):
     import numpy as np
 
     def cos6(a, b):
-        d = float(np.dot(a, b)) / (float(np.linalg.norm(a))
-                                   * float(np.linalg.norm(b)))
-        return round(d, 6)
+        n = float(np.linalg.norm(a)) * float(np.linalg.norm(b))
+        if n == 0.0:             # zero-norm guard, mirrors similarity.cos6
+            return 0.0
+        return round(float(np.dot(a, b)) / n, 6)
 
     order = np.argsort(ids)
     ids = [ids[i] for i in order]
@@ -207,6 +208,30 @@ def test_kmeans_centroids_match_numpy_oracle(spark):
              for r in kmeans_centroids(e, n_cells=4, n_iter=3).collect()}
     for j in range(4):
         assert np.array_equal(got[j], again[j])
+
+
+def test_ivf_fixture_matches_trainer(spark):
+    """The committed fixtures_ivf.IVF_CENTROIDS ARE the trainer's output
+    (round-4 VERDICT ask #6): re-running kmeans_centroids with the
+    fixture's documented provenance (sf0.01 embeddings vec_id >= 8,
+    n_cells=8, n_iter=3) reproduces every frozen value exactly, and the
+    hash-checked ann_ivf_fixed_topk query equals the rows-only
+    ann_ivf_trained_topk (same index -> same probe/rescore output)."""
+    from master_project_spark.entry_queries import (ann_ivf_fixed_topk,
+                                                    ann_ivf_trained_topk)
+    from master_project_spark.fixtures_ivf import IVF_CENTROIDS
+    from master_project_spark.operators.similarity import kmeans_centroids
+
+    sf_dir = "/root/testdata/sf0.01"
+    c = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .filter(F.col("vec_id") >= 8)
+    trained = {r["cell_id"]: [float(x) for x in r["cv"]]
+               for r in kmeans_centroids(c, n_cells=8, n_iter=3).collect()}
+    assert trained == {cid: vec for cid, vec in IVF_CENTROIDS}
+
+    fixed = sorted(map(tuple, ann_ivf_fixed_topk(spark, sf_dir).collect()))
+    live = sorted(map(tuple, ann_ivf_trained_topk(spark, sf_dir).collect()))
+    assert fixed == live
 
 
 def test_ivf_kmeans_recall_at_10(spark):

@@ -18,12 +18,16 @@ if __name__ == "__main__":
             d = json.loads(ln)
             if "run" in d:
                 runs.append(d)
-    print("| run | t/s @4 | probe @4 (kH/s) | t/s @16 | probe @16 (kH/s) "
-          "| efficiency |")
+    # derive the two leg keys from the log itself (ADVICE round-4: bench.py
+    # derives legs from SPARK_GRAFT_SCALE_N, so '4'/'16' must not be
+    # hardcoded)
+    k_small, k_big = sorted(runs[0]["legs"].keys(), key=int)
+    print(f"| run | t/s @{k_small} | probe @{k_small} (kH/s) "
+          f"| t/s @{k_big} | probe @{k_big} (kH/s) | efficiency |")
     print("|---|---|---|---|---|---|")
     raw = []
     for i, d in enumerate(runs, 1):
-        l4, l16 = d["legs"]["4"], d["legs"]["16"]
+        l4, l16 = d["legs"][k_small], d["legs"][k_big]
         raw.append(d["efficiency"])
         print(f"| {i} | {l4['turns_per_sec']:,.0f} | "
               f"{l4['probe_khs'][0]:.0f}→{l4['probe_khs'][1]:.0f} | "
