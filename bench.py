@@ -40,29 +40,57 @@ def _force(df) -> int:
     return 0
 
 
+#: Bucket count for --bucketed-input: FIXED (not cores-derived) so both
+#: scaling legs read identically-laid-out data — the leg comparison then
+#: isolates parallelism, not layout. 64 buckets = 4 tasks/core at 16 cores.
+N_BUCKETS = 64
+
+
 def pipeline_leg(cores: int, sf_dir: str, n_convs: int,
-                 with_fixpoint: bool = False) -> dict:
+                 with_fixpoint: bool = False,
+                 bucketed: bool = False) -> dict:
     from master_project_spark.datagen import alias_df, transcripts_df_distributed
     from master_project_spark.pipeline import run_pipeline
     from master_project_spark.session import get_spark
 
-    spark = get_spark(cores, app_name=f"bench_pipeline_{cores}")
+    out_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    wh = tempfile.mkdtemp(prefix="bench_wh_", dir=out_base) if bucketed \
+        else None
+    spark = get_spark(cores, app_name=f"bench_pipeline_{cores}",
+                      extra_conf={"spark.sql.warehouse.dir": wh} if wh
+                      else None)
     spark.sparkContext.setLogLevel("ERROR")
     # tmpfs output: measure the pipeline, not virtio-disk writeback
-    out_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     out = tempfile.mkdtemp(prefix=f"bench_kg_{cores}_", dir=out_base)
     try:
-        transcripts = transcripts_df_distributed(spark, n_convs).cache()
+        if bucketed:
+            # Production shape: transcripts arrive as a conv_id-bucketed
+            # table (Iceberg bucket(conv_id) at ingest). The bucketed write
+            # is UNTIMED (it happens once at ingest, amortized over every
+            # downstream read); the timed pipeline then plans the chunker
+            # aggregation with ZERO text shuffle (HashPartitioning(conv_id)
+            # satisfies the (conv_id, seg_idx) clustering — see
+            # chunk_stage_df docstring + tests/test_plans.py).
+            (transcripts_df_distributed(spark, n_convs)
+             .write.mode("overwrite").bucketBy(N_BUCKETS, "conv_id")
+             .sortBy("conv_id", "turn_idx").format("parquet")
+             .saveAsTable("bench_transcripts_bucketed"))
+            transcripts = spark.table("bench_transcripts_bucketed").cache()
+        else:
+            transcripts = transcripts_df_distributed(spark, n_convs).cache()
         n_turns = transcripts.count()  # materialize: measure pipeline, not gen
         t0 = time.perf_counter()
         res = run_pipeline(spark, transcripts, out, alias_df(spark),
-                           resume=False, with_fixpoint=with_fixpoint)
+                           resume=False, with_fixpoint=with_fixpoint,
+                           input_clustered=bucketed)
         n_triples = res.tables["triples"].count()
         wall = time.perf_counter() - t0
         leg = {"cores": cores, "turns": n_turns, "triples": n_triples,
                "wall_sec": round(wall, 3),
                "turns_per_sec": round(n_turns / wall, 2),
                "triples_per_sec": round(n_triples / wall, 2)}
+        if bucketed:
+            leg["input"] = f"bucketed{N_BUCKETS}"
         if with_fixpoint:
             by_stage = {m["stage"]: m for m in res.metrics}
             leg["fixpoint"] = {
@@ -81,6 +109,8 @@ def pipeline_leg(cores: int, sf_dir: str, n_convs: int,
     finally:
         shutil.rmtree(out, ignore_errors=True)
         spark.stop()
+        if wh:
+            shutil.rmtree(wh, ignore_errors=True)
 
 
 def _cpu_probe() -> float:
@@ -134,6 +164,14 @@ def main(argv=None) -> int:
                          "pipeline leg with the production gate and with "
                          "MPS_AB_NARROW_CUE_GATE=1 (round-2 cue-only "
                          "semantics) and report both throughputs")
+    ap.add_argument("--bucketed-input", action="store_true",
+                    help="materialize the transcripts as a conv_id-bucketed "
+                         "table (untimed ingest write, the production "
+                         "Iceberg bucket(conv_id) layout) and run the "
+                         "pipeline with input_clustered=True — the chunker "
+                         "aggregation then plans WITHOUT the raw-text "
+                         "shuffle (the dominant cross-executor transfer; "
+                         "round-5 local-cluster decomposition)")
     ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--fixpoint", action="store_true",
                     help="run the pipeline WITH the extraction-fixpoint "
@@ -181,6 +219,8 @@ def main(argv=None) -> int:
                 cmd = [sys.executable, __file__, "--pipeline-only",
                        "--cores", str(cores), "--sf-dir", args.sf_dir,
                        "--n-convs", str(n_convs)]
+                if args.bucketed_input:
+                    cmd.append("--bucketed-input")
                 if shutil.which("taskset"):
                     cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
                 for attempt in (1, 2):    # one retry: transient JVM-start
@@ -210,6 +250,8 @@ def main(argv=None) -> int:
             "metric": f"kg_pipeline_scaling_efficiency_{n_small}_to_{4 * n_small}_cores",
             "value": median, "unit": "ratio", "sf": sf,
             "exec_mode": args.exec_mode,
+            "input": f"bucketed{N_BUCKETS}" if args.bucketed_input
+            else "generated",
             "pinned": bool(shutil.which("taskset")),
             "runs": len(runs), "efficiencies": effs, "median": median,
             "legs": runs[-1]["legs"],
@@ -244,7 +286,8 @@ def main(argv=None) -> int:
         return 0
 
     if args.pipeline_only:
-        leg = pipeline_leg(args.cores, args.sf_dir, n_convs)
+        leg = pipeline_leg(args.cores, args.sf_dir, n_convs,
+                           bucketed=args.bucketed_input)
         print(json.dumps({"pipeline": leg}))
         return 0
 

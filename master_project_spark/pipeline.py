@@ -141,7 +141,8 @@ CHUNK_SEG_TURNS = 4096
 
 
 def chunk_stage_df(transcripts: DataFrame,
-                   seg_turns: int = CHUNK_SEG_TURNS) -> DataFrame:
+                   seg_turns: int = CHUNK_SEG_TURNS,
+                   input_clustered: bool = False) -> DataFrame:
     """Conversation chunking with BOUNDED row sizes (round-2 fix for the
     mega-conversation OOM hazard, VERDICT #3 / ADVICE #5).
 
@@ -161,6 +162,19 @@ def chunk_stage_df(transcripts: DataFrame,
       a cut point may differ from whole-text processing in rare edge texts
       — the documented trade for boundedness (the reference itself cannot
       process such conversations at all).
+
+    ``input_clustered=True`` declares that ``transcripts`` is already
+    hash-clustered by conv_id (a conv_id-bucketed catalog table, or an
+    Iceberg ``bucket(conv_id)`` scan with storage partitioning): Catalyst
+    then plans the seg aggregation WITHOUT an exchange (HashPartitioning
+    on conv_id satisfies the (conv_id, seg_idx) clustered distribution —
+    plan-asserted in tests/test_plans.py), eliminating the pipeline's one
+    large shuffle — raw turn text never crosses executors. The flag itself
+    only skips the mega-conv path's now-redundant ``repartition(conv_id)``
+    (the aggregation output keeps the input's conv_id clustering, so the
+    streaming chunker's co-location precondition already holds); the main
+    win comes from the scan's bucketing metadata. Measured on the round-5
+    local-cluster protocol legs: see BENCH/BASELINE.md.
     """
     base = transcripts.select("conv_id", "turn_idx", "text")
     # conversations spilling past segment 0 — detected by a PUSHED-DOWN
@@ -183,10 +197,11 @@ def chunk_stage_df(transcripts: DataFrame,
              .select("conv_id",
                      F.posexplode(chunk_text_udf(F.col("seg_text")))
                      .alias("chunk_idx", "chunk_text")))
-    big = (segs.join(F.broadcast(big_ids), "conv_id", "left_semi")
-           .select("conv_id", "seg_idx", "seg_text")
-           .repartition("conv_id")
-           .sortWithinPartitions("conv_id", "seg_idx")
+    big = segs.join(F.broadcast(big_ids), "conv_id", "left_semi") \
+        .select("conv_id", "seg_idx", "seg_text")
+    if not input_clustered:
+        big = big.repartition("conv_id")
+    big = (big.sortWithinPartitions("conv_id", "seg_idx")
            .mapInPandas(stream_chunk_batches, CHUNKS_SCHEMA))
     return small.unionByName(big)
 
@@ -292,7 +307,8 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
                  with_chunks: bool = True, run_id: str | None = None,
                  extract_partitions: int | None = None,
                  snapshot_token: str | None = None,
-                 with_fixpoint: bool = False) -> PipelineResult:
+                 with_fixpoint: bool = False,
+                 input_clustered: bool = False) -> PipelineResult:
     io = TableIO(out_dir)
     # Input identity for resume. An EXTERNAL snapshot token (Iceberg snapshot
     # id / manifest version of the source table) skips the full input scan —
@@ -336,9 +352,13 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
     # common file-backed case: inputFiles() is a metadata-only lookup
     # (parquet scans split at maxPartitionBytes, so n_files lower-bounds the
     # scan partitions); .rdd is the fallback for in-memory inputs only
-    n_in = len(transcripts.inputFiles()) or turns.rdd.getNumPartitions()
-    if n_in < max(2, n_part // 4):
-        turns = turns.repartition(n_part, "conv_id", "turn_idx")
+    # input_clustered: a conv_id-bucketed scan is already row-balanced at
+    # bucket granularity AND re-shuffling would throw away the clustering
+    # the chunk stage exploits — never repartition it.
+    if not input_clustered:
+        n_in = len(transcripts.inputFiles()) or turns.rdd.getNumPartitions()
+        if n_in < max(2, n_part // 4):
+            turns = turns.repartition(n_part, "conv_id", "turn_idx")
 
     # every per-conversation table is partitioned by an ingest 'batch'
     # column (batch = deterministic function of the input identity): the
@@ -368,7 +388,8 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
         # batch (W1); mega-conversations stream segmented (bounded rows)
         wave1.append((
             "chunks",
-            lambda: chunk_stage_df(transcripts)
+            lambda: chunk_stage_df(transcripts,
+                                   input_clustered=input_clustered)
             .withColumn("batch", F.lit(batch_token)),
             {"partition_by": ["batch"]}))
     w1 = st.run_group(wave1)

@@ -291,3 +291,42 @@ def test_jvm_cue_prefilter_matches_python_gate(spark):
     # the corpus must exercise both directions
     assert any(i not in kept for i in range(len(texts)))
     assert any(i in kept for i in range(len(texts)))
+
+
+def test_bucketed_input_chunks_identical_and_shuffle_free(spark, tmp_path):
+    """Round-5 chunker-shuffle elimination: a conv_id-bucketed input table
+    must (a) produce byte-identical chunks to the default path — including
+    through the segmented mega-conv route — and (b) plan the seg
+    aggregation with ZERO shuffle exchange (HashPartitioning(conv_id) from
+    the bucketed scan satisfies the (conv_id, seg_idx) clustering), so raw
+    turn text never crosses executors. Only broadcast exchanges (the tiny
+    big-conv id set) are allowed in the whole chunk-stage plan."""
+    import contextlib
+    import io
+
+    from master_project_spark.datagen import transcripts_df
+    from master_project_spark.pipeline import chunk_stage_df
+
+    t = transcripts_df(spark, 40, 24).select("conv_id", "turn_idx", "text")
+    spark.sql("DROP TABLE IF EXISTS t_bucketed_test")
+    (t.write.mode("overwrite").bucketBy(4, "conv_id")
+     .sortBy("conv_id", "turn_idx").format("parquet")
+     .option("path", str(tmp_path / "bucketed"))
+     .saveAsTable("t_bucketed_test"))
+    try:
+        bt = spark.table("t_bucketed_test")
+        # seg_turns=8 forces multi-segment conversations (max_turns=24), so
+        # the streaming big-conv route is exercised under input_clustered
+        base = sorted(map(tuple, chunk_stage_df(t, seg_turns=8).collect()))
+        buck_df = chunk_stage_df(bt, seg_turns=8, input_clustered=True)
+        buck = sorted(map(tuple, buck_df.collect()))
+        assert buck == base and len(base) > 0
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            buck_df.explain(mode="formatted")
+        p = buf.getvalue()
+        assert "Exchange hashpartitioning" not in p
+        assert "BroadcastExchange" in p  # routing joins stay broadcast
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_test")
