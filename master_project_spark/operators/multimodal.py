@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode step is REAL for the containers a pure stdlib can parse — PNG
-(zlib inflate + per-scanline unfilter), BMP (24/32-bit uncompressed) and
-PPM P6 — with width/height/mean-luma computed from actual pixels. Formats
-needing codecs this container lacks (JPEG, WebP, video/audio) fall back to
-the deterministic content-hash stand-in at the same seam, so swapping in
+The decode step is REAL for the containers a pure stdlib+numpy can parse —
+PNG (zlib inflate + per-scanline unfilter), BMP (24/32-bit uncompressed),
+PPM P6, and baseline-sequential JPEG (T.81 Annex-F Huffman entropy decode
++ dequant + batched IDCT, luma plane) — with width/height/mean-luma
+computed from actual pixels. Formats needing codecs this container lacks
+(progressive/arithmetic JPEG pixels, WebP, video/audio) fall back to the
+deterministic content-hash stand-in at the same seam, so swapping in
 PIL/ffmpeg is a drop-in (`_decode_image`). Everything Spark-side —
 schema, mapInPandas batch shape, partitioning, metadata math — is real
 and tested either way.
@@ -232,12 +234,288 @@ def _jpeg_dimensions(content: bytes) -> tuple[int, int]:
     raise ValueError("JPEG: no SOF marker before SOS/EOF")
 
 
+# ---------------------------------------------------------------------------
+# JPEG baseline-sequential decode (ITU-T T.81 Annex F) — Huffman entropy
+# decode + dequantize + batched numpy IDCT, luma channel only. Pure
+# stdlib + numpy; progressive / arithmetic / 12-bit / hierarchical fall
+# through to the dims+stand-in path at the same seam.
+# ---------------------------------------------------------------------------
+
+#: zigzag-scan position i -> raster index in the 8x8 block (T.81 fig. 5)
+_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+#: pure-Python entropy decode is the fence here: beyond this many pixels
+#: the decode falls back to real-dims + stand-in luma (same never-raise
+#: seam; a real cluster swaps in libjpeg behind it).
+_JPEG_MAX_PIXELS = 1 << 22                                 # 4 Mpx
+
+
+def _build_huff(counts, symbols):
+    """Canonical Huffman decode tables from a DHT's BITS/HUFFVAL
+    (T.81 F.2.2.3): (mincode, maxcode, valptr, huffval) per code length."""
+    mincode, maxcode, valptr = [0] * 17, [-1] * 17, [0] * 17
+    code = k = 0
+    for length in range(1, 17):
+        n = counts[length - 1]
+        if n:
+            valptr[length], mincode[length] = k, code
+            code += n
+            k += n
+            maxcode[length] = code - 1
+        code <<= 1
+    if k != len(symbols):
+        raise ValueError("JPEG: DHT count/symbol mismatch")
+    return mincode, maxcode, valptr, list(symbols)
+
+
+class _JpegBits:
+    """MSB-first bit reader over the entropy-coded segment: un-stuffs
+    0xFF00, stops at any real marker, tolerates the encoder's final-byte
+    padding but flags genuine truncation (>7 padded bits)."""
+
+    __slots__ = ("data", "pos", "buf", "n", "eos", "padded")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos = data, pos
+        self.buf = self.n = self.padded = 0
+        self.eos = False
+
+    def _fill(self) -> None:
+        data = self.data
+        while self.n <= 24 and not self.eos:
+            if self.pos >= len(data):
+                self.eos = True
+                break
+            b = data[self.pos]
+            if b == 0xFF:
+                nxt = data[self.pos + 1] if self.pos + 1 < len(data) else -1
+                if nxt != 0x00:                            # a real marker
+                    self.eos = True
+                    break
+                self.pos += 2                              # stuffed 0xFF
+            else:
+                self.pos += 1
+            self.buf = (self.buf << 8) | b
+            self.n += 8
+
+    def bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        if self.n < k:
+            self._fill()
+            if self.n < k:                                 # pad (final byte)
+                self.padded += k - self.n
+                if self.padded > 7:
+                    raise ValueError("JPEG: entropy data truncated")
+                self.buf <<= k - self.n
+                self.n = k
+        self.n -= k
+        return (self.buf >> self.n) & ((1 << k) - 1)
+
+    def sync_restart(self) -> None:
+        """Byte-align at a restart boundary, consume the RSTn marker."""
+        self.buf = self.n = 0
+        data, pos = self.data, self.pos
+        if pos + 2 > len(data) or data[pos] != 0xFF \
+                or not 0xD0 <= data[pos + 1] <= 0xD7:
+            raise ValueError("JPEG: expected RSTn marker")
+        self.pos = pos + 2
+        self.eos = False
+
+
+def _huff_decode(rd: _JpegBits, tbl) -> int:
+    mincode, maxcode, valptr, huffval = tbl
+    code = rd.bits(1)
+    length = 1
+    while code > maxcode[length]:
+        code = (code << 1) | rd.bits(1)
+        length += 1
+        if length > 16:
+            raise ValueError("JPEG: invalid Huffman code")
+    return huffval[valptr[length] + code - mincode[length]]
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.12: magnitude bits -> signed value of category ``s``."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_jpeg(content: bytes) -> tuple[int, int, float]:
+    """Full baseline-sequential decode: (width, height, mean luma of the
+    REAL Y plane in [0,1]). Supports SOF0/SOF1 (8-bit Huffman), grayscale
+    and interleaved multi-component scans with any h/v sampling, restart
+    intervals; raises ValueError on anything else (progressive,
+    arithmetic, multi-scan, >``_JPEG_MAX_PIXELS``) so the caller's seam
+    falls back to real-dims + stand-in luma. The Y plane IS JFIF's BT.601
+    luma, matching the PNG/BMP/PPM paths' ``_LUMA`` convention."""
+    import numpy as np
+
+    qtables: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], tuple] = {}                # (class, id)
+    frame = None                                           # (w, h, comps)
+    restart_interval = 0
+    pos = 2
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("JPEG: marker desync")
+        marker = content[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", content[pos + 2:pos + 4])
+        seg = content[pos + 4:pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:                                 # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq:                                     # 16-bit table
+                    qtables[tq] = list(struct.unpack(
+                        ">64H", seg[i:i + 128]))
+                    i += 128
+                else:
+                    qtables[tq] = list(seg[i:i + 64])
+                    i += 64
+        elif marker == 0xC4:                               # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = list(seg[i + 1:i + 17])
+                nsym = sum(counts)
+                syms = list(seg[i + 17:i + 17 + nsym])
+                huff[(tc, th)] = _build_huff(counts, syms)
+                i += 17 + nsym
+        elif marker == 0xDD:                               # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker in (0xC0, 0xC1):                       # baseline SOF
+            prec, h, w, nf = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("JPEG: only 8-bit precision")
+            if w * h > _JPEG_MAX_PIXELS:
+                raise ValueError("JPEG: over pure-Python decode fence")
+            comps = []
+            for c in range(nf):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+            frame = (w, h, comps)
+        elif marker in _JPEG_SOF_MARKERS:                  # SOF2/9/…
+            raise ValueError("JPEG: not baseline sequential")
+        elif marker == 0xDA:                               # SOS
+            break
+    else:
+        raise ValueError("JPEG: no SOS")
+    if frame is None:
+        raise ValueError("JPEG: SOS before SOF")
+
+    width, height, comps = frame
+    ns = seg[0]
+    if ns != len(comps):
+        raise ValueError("JPEG: multi-scan files unsupported")
+    by_id = {c["id"]: c for c in comps}
+    scan = []
+    for c in range(ns):
+        cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+        comp = by_id[cs]
+        comp["dc"], comp["ac"] = huff[(0, tt >> 4)], huff[(1, tt & 15)]
+        scan.append(comp)
+    if seg[1 + 2 * ns:4 + 2 * ns] != b"\x00\x3f\x00":      # Ss/Se/AhAl
+        raise ValueError("JPEG: non-baseline spectral selection")
+
+    luma = comps[0]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if luma["h"] != hmax or luma["v"] != vmax or not 1 <= hmax <= 4:
+        raise ValueError("JPEG: luma must be the full-resolution component")
+    qt = qtables[luma["tq"]]
+    qraster = np.zeros(64)
+    for i in range(64):
+        qraster[_ZIGZAG[i]] = qt[i]
+    qraster = qraster.reshape(8, 8)
+
+    if ns == 1:                                            # non-interleaved
+        mcus_x = (width + 7) // 8
+        mcus_y = (height + 7) // 8
+        mcu_w = mcu_h = 8
+        layout = [(luma, 0, 0, True)]                      # one block/MCU
+    else:
+        mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+        mcu_w, mcu_h = 8 * hmax, 8 * vmax
+        layout = []                                        # scan order
+        for comp in scan:
+            for v in range(comp["v"]):
+                for hh in range(comp["h"]):
+                    layout.append((comp, hh, v, comp is luma))
+
+    coeffs, places = [], []                                # Y blocks only
+    rd = _JpegBits(content, pos)
+    preds = {c["id"]: 0 for c in comps}
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count \
+                    and mcu_count % restart_interval == 0:
+                rd.sync_restart()
+                preds = {c["id"]: 0 for c in comps}
+            mcu_count += 1
+            for comp, hh, v, is_luma in layout:
+                t = _huff_decode(rd, comp["dc"])
+                preds[comp["id"]] += _extend(rd.bits(t), t)
+                block = np.zeros(64) if is_luma else None
+                if is_luma:
+                    block[0] = preds[comp["id"]]
+                k = 1
+                while k < 64:
+                    rs = _huff_decode(rd, comp["ac"])
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r != 15:                        # EOB
+                            break
+                        k += 16                            # ZRL
+                        continue
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG: AC run past block end")
+                    val = _extend(rd.bits(s), s)
+                    if is_luma:
+                        block[_ZIGZAG[k]] = val
+                    k += 1
+                if is_luma:
+                    coeffs.append(block)
+                    places.append((mx * mcu_w + 8 * hh, my * mcu_h + 8 * v))
+
+    # batched dequant + IDCT over every Y block at once
+    fb = np.stack(coeffs).reshape(-1, 8, 8) * qraster
+    x = np.arange(8)
+    A = 0.5 * np.cos((2 * x[None, :] + 1)
+                     * x[:, None] * np.pi / 16)            # A[u, x]
+    A[0, :] *= 1.0 / np.sqrt(2.0)
+    px = np.clip(np.rint(A.T @ fb @ A + 128.0), 0, 255)
+
+    plane = np.zeros((mcus_y * mcu_h, mcus_x * mcu_w))
+    for i, (x0, y0) in enumerate(places):
+        plane[y0:y0 + 8, x0:x0 + 8] = px[i]
+    crop = plane[:height, :width]                          # drop MCU padding
+    return width, height, round(float(crop.mean()) / 255.0, 6)
+
+
 def _decode_image(content: bytes) -> tuple[int, int, float]:
     """(width, height, mean_luma in [0,1]). REAL decode for PNG / BMP /
-    PPM-P6 (pure stdlib + numpy); JPEG gets REAL dimensions from its SOF
-    header with the luma a content-hash stand-in; other containers (WebP,
-    ... — codecs absent here) keep the full deterministic stand-in at this
-    same seam, the documented stub boundary.
+    PPM-P6 / baseline-sequential JPEG (pure stdlib + numpy — the JPEG
+    path is a full Annex-F Huffman + IDCT luma decode); non-baseline JPEG
+    (progressive, arithmetic, 12-bit, >4 Mpx fence) gets REAL dimensions
+    from its SOF header with the luma a content-hash stand-in; other
+    containers (WebP, … — codecs absent here) keep the full deterministic
+    stand-in at this same seam, the documented stub boundary.
 
     NEVER raises (ADVICE round-4 medium): a truncated/corrupt/unsupported-
     variant payload falls back to the stand-in instead of failing the
@@ -249,6 +527,8 @@ def _decode_image(content: bytes) -> tuple[int, int, float]:
             return _decode_bmp(content)
         if content[:2] == b"P6":
             return _decode_ppm(content)
+        if content[:2] == b"\xff\xd8":
+            return _decode_jpeg(content)
     except Exception:
         pass                       # corrupt/unsupported -> stand-in below
     h = hashlib.sha256(content).digest()
