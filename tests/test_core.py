@@ -378,6 +378,104 @@ def test_sentence_cue_gate_is_necessary_for_every_pattern():
     assert n_cuefree > 50  # the corpus must actually exercise the skip
 
 
+def _screen_ok(pat, sentence: str) -> bool:
+    low = sentence.lower()
+    return all(any(t in low for t in grp) for grp in pat.screens)
+
+
+def test_pattern_screens_are_necessary_for_every_pattern():
+    """The round-5 per-pattern literal screens (TriplePattern.screens)
+    must be NECESSARY conditions: whenever a pattern's regex matches an
+    ASCII sentence, its screen passes. Checked three ways: (1) corpus
+    sentences — every (pattern, sentence) whose screen fails has zero
+    matches; (2) adversarial case/variant strings built from each
+    pattern's own alternations (pre-trained/fine-tuned/vs./etc. in mixed
+    case) MATCH the regex and pass the screen; (3) the screened scan
+    equals the unscreened all-pattern scan on every corpus sentence."""
+    from master_project_spark import core
+    from master_project_spark.datagen import gen_transcripts
+
+    # (2): every cue alternation variant of every pattern, mixed-case —
+    # each string matches its pattern, so the screen MUST admit it
+    variants = {
+        "trained_on": ["Xnet was Pre-Trained on the YCorp",
+                       "Anet is fine-TUNED using Bset",
+                       "Cnet trained on Dset", "PRETRAINED on Eset",
+                       "we FineTuned on Fset"],
+        "outperforms": ["Anet OUTPERFORMS Bnet", "Anet beat Bnet",
+                        "Anet surpasses Bnet", "Anet Beats Bnet"],
+        "evaluated_on": ["Anet was EVALUATED on Bset", "Anet is Tested on Bset",
+                         "Anet were benchmarked against Bset",
+                         "Anet are ASSESSED on Bset",
+                         "Experimented on the Bset"],
+        "uses_dataset": ["UTILIZED the Aset corpus", "uses Bset treebank",
+                         "Used the Cset data set", "employ Dset database",
+                         "LEVERAGES Eset collection",
+                         "use Fset benchmark"],
+        "collected_from": ["data was COLLECTED from the Aweb",
+                           "corpus sourced from Bsite",
+                           "Data Derived from Csource"],
+        "compared_with": ["COMPARED to the Anet", "comparison with Bnet",
+                          "Compare against Cnet", "against the Dnet",
+                          "VERSUS Enet", "vs. Fnet", "Vs Gnet",
+                          "BASELINES such as Hnet",
+                          "baseline like Inet".replace("baseline like",
+                                                        "baselines like")],
+    }
+    for pred, sents in variants.items():
+        pats = [p for p in core.TRIPLE_PATTERNS if p.pred == pred]
+        for s in sents:
+            assert s.isascii()
+            matched = [p for p in pats if p.regex.search(s)]
+            assert matched, (pred, s)          # the variant must exercise it
+            for p in matched:
+                assert _screen_ok(p, s), (pred, s)
+
+    # (1)+(3): corpus sweep — screen-failing (pattern, sentence) pairs
+    # never match, and the screened scan is identical to all-pattern scan
+    n_screened_out = 0
+    for r in gen_transcripts(150, 25, seed=29):
+        for s in core.normalize_and_split(r["text"]):
+            if not s.isascii():
+                continue
+            for pat in core.TRIPLE_PATTERNS:
+                if not _screen_ok(pat, s):
+                    n_screened_out += 1
+                    assert pat.regex.search(s) is None, (pat.pred, s)
+    assert n_screened_out > 1000   # the corpus must exercise the screens
+
+
+def test_screened_scan_equals_unscreened_on_cue_rich_text():
+    """Guards-on vs guards-off extract_turn equality on text DENSE in cue
+    words and near-cue traps (use/because, test/latest, vs/versus), mixed
+    case and non-ASCII — the adversarial surface for the per-pattern
+    screens specifically (the generic hypothesis sweep rarely generates
+    cue words)."""
+    from master_project_spark import core
+
+    traps = [
+        "Because the latest Vessel abused Testing, Anet beat Bnet today.",
+        "We trained on SQuAD and évaluated on GLUÉ carefully énough.",
+        "The baselines such as BERT-Large were compared with GPT-2 here.",
+        "Data was collected from CommonCrawl and derived from C4 corpus.",
+        "Anet uses the Bset benchmark and leverages the Cset collection.",
+        "Vs. the versus against: Anet vs Bnet baseline fully compared.",
+        "Pre-trained on ImageNet, fine-tuned on COCO, tested on VOC now.",
+        "No cues here at all, just plain boring filler text sentences.",
+        "ussse tessst compaaare — near-miss stems must not crash or drift.",
+        "ﬆrained on Xset",   # 'ﬆ' ligature: non-ASCII casefold edge
+    ]
+    try:
+        for t in traps:
+            core._GUARDS_ENABLED = True
+            g = core.extract_turn(t)
+            core._GUARDS_ENABLED = False
+            assert core.extract_turn(t) == g, repr(t)
+            core._GUARDS_ENABLED = True
+    finally:
+        core._GUARDS_ENABLED = True
+
+
 def test_extract_memo_bounded_by_bytes_not_just_entries():
     """Round-4 VERDICT 'What's wrong' #2: the per-worker extraction memo
     must be bounded by BYTES, not only entry count — 64k cached entries of
