@@ -3,10 +3,12 @@ columns with typed metadata.
 
 The decode step is REAL for the containers a pure stdlib+numpy can parse —
 PNG (zlib inflate + per-scanline unfilter), BMP (24/32-bit uncompressed),
-PPM P6, and baseline-sequential JPEG (T.81 Annex-F Huffman entropy decode
-+ dequant + batched IDCT, luma plane) — with width/height/mean-luma
-computed from actual pixels. Formats needing codecs this container lacks
-(progressive/arithmetic JPEG pixels, WebP, video/audio) fall back to the
+PPM P6, baseline-sequential JPEG (T.81 Annex-F Huffman entropy decode
++ dequant + batched IDCT, luma plane), and WAV PCM/IEEE-float audio —
+with width/height/mean-luma (resp. rate/frames/mean-amplitude) computed
+from actual samples. Non-baseline JPEG and WebP get real header
+dimensions; formats whose payload needs codecs this container lacks
+(VP8 pixels, MP3/OGG audio, video) fall back to the
 deterministic content-hash stand-in at the same seam, so swapping in
 PIL/ffmpeg is a drop-in (`_decode_image`). Everything Spark-side —
 schema, mapInPandas batch shape, partitioning, metadata math — is real
@@ -200,6 +202,42 @@ def _decode_ppm(content: bytes) -> tuple[int, int, float]:
                        dtype=np.uint8).reshape(-1, 3)
     luma = px.astype(np.float64) @ np.array(_LUMA)
     return width, height, round(float(luma.mean()) / 255.0, 6)
+
+
+def _webp_dimensions(content: bytes) -> tuple[int, int]:
+    """RIFF chunk walk to the first VP8 / VP8L / VP8X header -> (width,
+    height). Real dimensions for all three WebP flavors (lossy keyframe
+    tag, lossless 14-bit packed, extended canvas); the PIXEL decode is
+    codec-bound (VP8 arithmetic coder) and stays behind the stand-in
+    seam, mirroring non-baseline JPEG."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
+        raise ValueError("WebP: not a RIFF/WEBP container")
+    pos = 12
+    while pos + 8 <= len(content):
+        fourcc = content[pos:pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4:pos + 8])
+        body = content[pos + 8:pos + 8 + size]
+        if fourcc == b"VP8 ":                  # lossy (VP8 keyframe header)
+            if len(body) < 10 or body[0] & 1:  # bit0=1 -> interframe
+                raise ValueError("WebP: VP8 chunk is not a keyframe")
+            if body[3:6] != b"\x9d\x01\x2a":   # keyframe start code
+                raise ValueError("WebP: bad VP8 start code")
+            (w,) = struct.unpack("<H", body[6:8])
+            (h,) = struct.unpack("<H", body[8:10])
+            return w & 0x3FFF, h & 0x3FFF
+        if fourcc == b"VP8L":                  # lossless
+            if len(body) < 5 or body[0] != 0x2F:
+                raise ValueError("WebP: bad VP8L signature")
+            (bits,) = struct.unpack("<I", body[1:5])
+            return 1 + (bits & 0x3FFF), 1 + ((bits >> 14) & 0x3FFF)
+        if fourcc == b"VP8X":                  # extended: 24-bit canvas
+            if len(body) < 10:
+                raise ValueError("WebP: short VP8X chunk")
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
+            return w, h
+        pos += 8 + size + (size & 1)           # chunks pad to even
+    raise ValueError("WebP: no VP8/VP8L/VP8X chunk")
 
 
 #: every SOFn marker that carries frame dimensions (ISO/IEC 10918-1 B.2.2;
@@ -512,10 +550,12 @@ def _decode_image(content: bytes) -> tuple[int, int, float]:
     """(width, height, mean_luma in [0,1]). REAL decode for PNG / BMP /
     PPM-P6 / baseline-sequential JPEG (pure stdlib + numpy — the JPEG
     path is a full Annex-F Huffman + IDCT luma decode); non-baseline JPEG
-    (progressive, arithmetic, 12-bit, >4 Mpx fence) gets REAL dimensions
-    from its SOF header with the luma a content-hash stand-in; other
-    containers (WebP, … — codecs absent here) keep the full deterministic
-    stand-in at this same seam, the documented stub boundary.
+    (progressive, arithmetic, 12-bit, >4 Mpx fence) and WebP (all three
+    flavors: VP8 keyframe tag / VP8L packed / VP8X canvas) get REAL
+    dimensions from their headers with the luma a content-hash stand-in;
+    containers whose pixels need codecs absent here keep the full
+    deterministic stand-in at this same seam, the documented stub
+    boundary.
 
     NEVER raises (ADVICE round-4 medium): a truncated/corrupt/unsupported-
     variant payload falls back to the stand-in instead of failing the
@@ -535,6 +575,12 @@ def _decode_image(content: bytes) -> tuple[int, int, float]:
     if content[:2] == b"\xff\xd8":
         try:
             w, hgt = _jpeg_dimensions(content)
+            return w, hgt, round(h[2] / 255.0, 6)
+        except Exception:
+            pass
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        try:
+            w, hgt = _webp_dimensions(content)
             return w, hgt, round(h[2] / 255.0, 6)
         except Exception:
             pass
@@ -559,6 +605,119 @@ def image_features(media: DataFrame) -> DataFrame:
     return (media.filter(F.col("kind") == "image")
             .select("media_id", "content")
             .mapInPandas(batches, IMAGE_FEATURES_SCHEMA))
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("n_bytes", T.IntegerType()),
+    T.StructField("sha256", T.StringType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("n_samples", T.IntegerType()),      # frames per channel
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("mean_abs", T.DoubleType()),        # mean |amplitude|, [0,1]
+])
+
+
+def _decode_wav(content: bytes) -> tuple[int, int, int, float, float]:
+    """(sample_rate, channels, n_frames, duration_s, mean_abs amplitude)
+    from a RIFF/WAVE container — a REAL pure-stdlib+numpy decode for the
+    formats that need no codec: PCM (format 1) at 8/16/32 bits and IEEE
+    float (format 3) at 32/64 bits. mean_abs is the mean absolute sample
+    value with each format normalized to [-1, 1] (8-bit WAV is unsigned
+    around 128). Raises on anything else (ADPCM, MP3-in-WAV, truncated
+    chunks) so the caller's seam falls back to the stand-in."""
+    import numpy as np
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("WAV: not a RIFF/WAVE container")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(content):
+        fourcc = content[pos:pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4:pos + 8])
+        body = content[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("WAV: truncated chunk")
+        if fourcc == b"fmt ":
+            if size < 16:
+                raise ValueError("WAV: short fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif fourcc == b"data":
+            data = body
+            break                      # fmt precedes data per RIFF/WAVE
+        pos += 8 + size + (size & 1)   # chunks pad to even
+    if fmt is None or data is None:
+        raise ValueError("WAV: missing fmt or data chunk")
+    audio_format, channels, sample_rate, _brate, _balign, bits = fmt
+    if channels < 1 or sample_rate < 1:
+        raise ValueError("WAV: bad fmt fields")
+    if audio_format == 1:              # integer PCM
+        dtype, scale, offset = {
+            8: (np.uint8, 128.0, -128.0),
+            16: (np.int16, 32768.0, 0.0),
+            32: (np.int32, 2147483648.0, 0.0),
+        }.get(bits, (None, None, None))
+    elif audio_format == 3:            # IEEE float
+        dtype, scale, offset = {
+            32: (np.float32, 1.0, 0.0), 64: (np.float64, 1.0, 0.0),
+        }.get(bits, (None, None, None))
+    else:
+        dtype = None
+    if dtype is None:
+        raise ValueError(f"WAV: unsupported format {audio_format}/{bits}")
+    width = bits // 8
+    usable = len(data) - len(data) % (width * channels)
+    samples = np.frombuffer(data[:usable], dtype=dtype)
+    n_frames = len(samples) // channels
+    duration = n_frames / sample_rate
+    if n_frames == 0:
+        return sample_rate, channels, 0, 0.0, 0.0
+    amp = (samples.astype(np.float64) + offset) / scale
+    return (sample_rate, channels, n_frames, round(duration, 6),
+            round(float(np.abs(amp).mean()), 6))
+
+
+def _decode_audio(content: bytes) -> tuple[int, int, int, float, float]:
+    """WAV PCM/float is decoded for REAL (no codec needed); compressed
+    containers (MP3/OGG/FLAC/AAC — codecs absent here) and corrupt
+    payloads get the deterministic content-hash stand-in at this same
+    seam, mirroring _decode_image's contract: NEVER raises — one bad
+    file must not kill a 100-TB feature-extract job."""
+    try:
+        if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+            return _decode_wav(content)
+    except Exception:
+        pass                           # corrupt/unsupported -> stand-in
+    h = hashlib.sha256(content).digest()
+    rate = (8000, 16000, 22050, 24000, 44100, 48000)[h[0] % 6]
+    channels = 1 + h[1] % 2
+    n_frames = 1000 + int.from_bytes(h[3:5], "big")
+    return (rate, channels, n_frames, round(n_frames / rate, 6),
+            round(h[2] / 255.0, 6))
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """mapInPandas decode/feature-extract over binary audio content —
+    the audio twin of image_features (same batch shape, same never-raise
+    decode seam)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                rate, ch, n, dur, amp = _decode_audio(b)
+                rows.append((media_id, len(b),
+                             hashlib.sha256(b).hexdigest(), rate, ch, n,
+                             dur, amp))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "n_bytes", "sha256", "sample_rate", "channels",
+                "n_samples", "duration_s", "mean_abs"])
+
+    return (media.filter(F.col("kind") == "audio")
+            .select("media_id", "content")
+            .mapInPandas(batches, AUDIO_FEATURES_SCHEMA))
 
 
 def frame_sample_plan(media: DataFrame, every_n_seconds: int = 5) -> DataFrame:

@@ -944,3 +944,136 @@ def test_jpeg_through_spark_stage(spark):
     r = multimodal.image_features(media).collect()[0]
     assert (r["width"], r["height"]) == (8, 8)
     assert r["mean_luma"] == round(133 / 255.0, 6)
+
+
+# --- WebP header dimensions + WAV audio decode (round-5 late additions) --
+
+def _riff(fourcc: bytes, body: bytes) -> bytes:
+    import struct
+    return fourcc + struct.pack("<I", len(body)) + body \
+        + (b"\x00" if len(body) & 1 else b"")
+
+
+def _webp(chunks: bytes) -> bytes:
+    import struct
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+
+
+def test_webp_dimensions_all_three_flavors():
+    """VP8 keyframe tag / VP8L packed bits / VP8X 24-bit canvas each give
+    REAL dimensions with the content-hash stand-in luma; a corrupt VP8
+    chunk falls through to the generic stand-in (never raises)."""
+    import hashlib
+    import struct
+    from master_project_spark.operators.multimodal import _decode_image
+
+    vp8 = _webp(_riff(b"VP8 ", b"\x00\x00\x00\x9d\x01\x2a"
+                      + struct.pack("<HH", 320, 240)))
+    vp8l = _webp(_riff(b"VP8L", b"\x2f" + struct.pack(
+        "<I", (199 << 14) | 299)))                  # w-1=299, h-1=199
+    vp8x = _webp(_riff(b"VP8X", b"\x00\x00\x00\x00"
+                       + (1023).to_bytes(3, "little")
+                       + (767).to_bytes(3, "little")))
+    for blob, (ew, eh) in [(vp8, (320, 240)), (vp8l, (300, 200)),
+                           (vp8x, (1024, 768))]:
+        w, h, luma = _decode_image(blob)
+        assert (w, h) == (ew, eh)
+        assert luma == round(hashlib.sha256(blob).digest()[2] / 255.0, 6)
+
+    bad = _webp(_riff(b"VP8 ", b"\x01\x00\x00\xff\xff\xff\x00\x00\x00\x00"))
+    w, h, luma = _decode_image(bad)                 # interframe: stand-in
+    d = hashlib.sha256(bad).digest()
+    assert (w, h) == (64 + d[0] % 192, 64 + d[1] % 192)
+
+
+def _wav(fmt_tag, channels, rate, bits, payload, extra_chunks=b""):
+    import struct
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", fmt_tag, channels, rate,
+                      rate * block, block, bits)
+    chunks = _riff(b"fmt ", fmt) + extra_chunks + _riff(b"data", payload)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_pcm16_exact_features():
+    """16-bit stereo PCM with hand-picked samples: rate/channels/frames/
+    duration and the mean |amplitude| all match closed-form values."""
+    import struct
+    from master_project_spark.operators.multimodal import _decode_audio
+
+    samples = [16384, -16384, 32767, 0, -32768, 8192]   # 3 stereo frames
+    wav = _wav(1, 2, 8000, 16, struct.pack("<6h", *samples))
+    rate, ch, n, dur, amp = _decode_audio(wav)
+    assert (rate, ch, n) == (8000, 2, 3)
+    assert dur == round(3 / 8000, 6)
+    want = sum(abs(s) for s in samples) / 6 / 32768.0
+    assert amp == round(want, 6)
+
+
+def test_wav_pcm8_and_float32_normalization():
+    """8-bit WAV is unsigned around 128; float32 passes through as-is."""
+    import struct
+    from master_project_spark.operators.multimodal import _decode_audio
+
+    wav8 = _wav(1, 1, 16000, 8, bytes([128, 255, 0, 128]))
+    rate, ch, n, dur, amp = _decode_audio(wav8)
+    assert (rate, ch, n) == (16000, 1, 4)
+    assert amp == round((0 + 127 + 128 + 0) / 4 / 128.0, 6)
+
+    vals = (0.5, -0.25, 1.0, 0.0)
+    wavf = _wav(3, 1, 48000, 32, struct.pack("<4f", *vals))
+    rate, ch, n, dur, amp = _decode_audio(wavf)
+    assert (rate, ch, n) == (48000, 1, 4)
+    assert amp == round(sum(abs(v) for v in vals) / 4, 6)
+
+
+def test_wav_skips_non_data_chunks_and_pads():
+    """An odd-sized LIST chunk before data must be walked over with RIFF
+    even-padding; trailing partial frames are dropped, not crashed on."""
+    import struct
+    from master_project_spark.operators.multimodal import _decode_audio
+
+    extra = _riff(b"LIST", b"INFOxyz")                  # 7 bytes -> padded
+    payload = struct.pack("<3h", 100, -100, 300) + b"\x7f"  # partial frame
+    wav = _wav(1, 1, 44100, 16, payload, extra_chunks=extra)
+    rate, ch, n, dur, amp = _decode_audio(wav)
+    assert (rate, ch, n) == (44100, 1, 3)
+    assert amp == round((100 + 100 + 300) / 3 / 32768.0, 6)
+
+
+def test_audio_decode_never_raises_and_standin_is_deterministic():
+    """Compressed/corrupt payloads fall back to the hash stand-in at the
+    same seam — the never-raise contract image decode already carries."""
+    import hashlib
+    from master_project_spark.operators.multimodal import _decode_audio
+
+    for payload in [b"", b"ID3\x03\x00mp3-ish", b"OggS\x00\x02vorbis",
+                    b"RIFF\x08\x00\x00\x00WAVE",          # no chunks
+                    _wav(2, 1, 8000, 4, b"\x00\x00"),     # ADPCM: unsupported
+                    _wav(1, 0, 8000, 16, b"\x00\x00"),    # zero channels
+                    _wav(1, 1, 8000, 16, b"")[:20]]:      # truncated
+        a = _decode_audio(payload)
+        b = _decode_audio(payload)
+        assert a == b
+        assert a[0] >= 8000 and a[1] in (1, 2) and 0.0 <= a[4] <= 1.0
+
+
+def test_audio_features_through_spark_stage(spark):
+    """Real WAV decode + stand-in fallback flow through audio_features'
+    mapInPandas path; image rows are filtered out."""
+    import struct
+    from master_project_spark.operators import multimodal
+
+    wav = _wav(1, 1, 8000, 16, struct.pack("<4h", 16384, -16384, 0, 32767))
+    media = spark.createDataFrame(
+        [("a1", "audio", bytearray(wav), "{}"),
+         ("a2", "audio", bytearray(b"ID3\x03not-really-mp3"), "{}"),
+         ("i1", "image", bytearray(b"not audio"), "{}")],
+        multimodal.MEDIA_SCHEMA)
+    rows = {r["media_id"]: r for r in multimodal.audio_features(media).collect()}
+    assert set(rows) == {"a1", "a2"}
+    r = rows["a1"]
+    assert (r["sample_rate"], r["channels"], r["n_samples"]) == (8000, 1, 4)
+    assert r["duration_s"] == round(4 / 8000, 6)
+    assert r["mean_abs"] == round((16384 + 16384 + 0 + 32767) / 4 / 32768.0, 6)
+    assert rows["a2"]["sample_rate"] >= 8000        # stand-in, non-crashing
