@@ -268,6 +268,33 @@ def _anyof_clause(literals: list[str]) -> frozenset:
     return frozenset(v for ch in chosen for v in (ch.lower(), ch.upper()))
 
 
+class _FindChain:
+    """Ordered-occurrence clause: s1, then s2 strictly after the FIRST s1,
+    then s3 strictly after that s2, ... If a pattern needs characters
+    a<b<c in order (e.g. '(' ... '.' ... ')'), the chain over first
+    occurrences is a NECESSARY condition: the match's own a/b/c positions
+    witness each find. Implements the compiled-clause ``.search`` protocol
+    (None = fail) so _clauses_ok needs no new branch."""
+
+    __slots__ = ("subs",)
+
+    def __init__(self, *subs: str):
+        self.subs = subs
+
+    def search(self, x: str):
+        idx = 0
+        for s in self.subs:
+            i = x.find(s, idx)
+            if i < 0:
+                return None
+            idx = i + 1
+        return True
+
+
+#: any-of probes for a digit immediately followed by '.' — necessary for
+#: the version-number pattern (\d+)(?:\.(\d+))+
+_DIGIT_DOT_PROBES = tuple(f"{d}." for d in "0123456789")
+
 try:
     _EMO_CLAUSE = _anyof_clause(EMOTICON_LITERALS)
     # import-time soundness check: every literal must hit the clause
@@ -285,8 +312,8 @@ _STEP_GUARDS: list[tuple] = [
     (_fs("["), _fs("]"), _DIGITS),            # GENERAL_STRIP [12,13]
     (_fs("("), _fs(")"), _DIGITS),            # GENERAL_STRIP (1),(2)
     _EMO_GUARD,                               # emoticons
-    (_fs(","), _fs(".")),                     # ,\. [A-Z0-9]
-    (_fs(","), _fs(".")),                     # ,\. ?[a-z0-9]
+    ((",.",),),                               # ,\. [A-Z0-9] — literal ',.'
+    ((",.",),),                               # ,\. ?[a-z0-9]
     (_fs("@"), _fs(".")),                     # email [dot]
     (_fs("\"'"), _fs(".!?")),                 # quoted sentence
     # space-before-punct: a zero-space match rewrites to itself, so the
@@ -300,22 +327,28 @@ _STEP_GUARDS: list[tuple] = [
     (_fs("("),),                              # glue-(
     (_fs(")"),),                              # )-glue
     (("// ",),),                              # slash runs
-    (_DIGITS, _fs(".")),                      # 1.2.3 versions
-    (_DIGITS, _UPPER, re.compile(r"[a-z]\.")),  # ABBR_CS 'Fig. 6 .'
+    (_DIGITS, _DIGIT_DOT_PROBES),             # 1.2.3 versions — needs '\d.'
+    # the former '[a-z]\.' clause of the two steps below was dropped: on
+    # sentence-shaped text it passes ~always (every sentence ends
+    # lowercase-dot), so it was a pure extra scan, never a skip
+    (_DIGITS, _UPPER),                        # ABBR_CS 'Fig. 6 .'
     (_UPPER, re.compile(r"\d\.")),            # ABBR_CS 'Fig 6.'
-    (_UPPER, re.compile(r"[a-z]\.")),         # ABBR_CS 'Word.'
-    (_fs("."), _ci_subs(" al")),              # et al.
+    (_UPPER,),                                # ABBR_CS 'Word.'
+    (_fs("."), _ci_subs(" al"), ("l.", "L.")),  # et al. — 'al\.' => 'l.'
     (_ci_subs("vs."),),                       # vs.
     (_ci_subs("etc."),),                      # etc.
     (_ci_subs("eq."),),                       # Eq.
-    (_fs("["),),                              # [dot] run collapse
+    (("[dot] [dot]",),),                      # [dot] run collapse — 2 repeats
     (_fs(":"), _DIGITS),                      # arXiv ids
-    (_fs("("), _fs(")"), _fs(".")),           # (..) dot slug
-    (_fs("["), _fs("]"), _fs(".")),           # [..] dot slug
-    (_fs("{"), _fs("}"), _fs(".")),           # {..} dot slug
-    (_fs('"'), _fs(".")),                     # ".." dot slug
-    (_fs("'"), _fs(".")),                     # '..' dot slug
-    (_DIGITS, _fs(".")),                      # \b\d+(\.\d+)*
+    (_fs("("), _fs(")"), _FindChain("(", ".", ")")),  # (..) dot slug
+    (_fs("["), _fs("]"), _FindChain("[", ".", "]")),  # [..] dot slug
+    (_fs("{"), _fs("}"), _FindChain("{", ".", "}")),  # {..} dot slug
+    (_fs('"'), _FindChain('"', ".", '"')),    # ".." dot slug
+    (_fs("'"), _FindChain("'", ".", "'")),    # '..' dot slug
+    # \b\d+(\.\d+)* only CHANGES output when a match contains a dot, which
+    # needs digit-dot-digit; dotless matches rewrite to themselves, so the
+    # skip is output-exact (same argument as space-before-punct above)
+    (_DIGITS, re.compile(r"\d\.\d")),         # \b\d+(\.\d+)*
 ]
 
 #: tests flip this to False to verify guard exactness on arbitrary input
@@ -413,8 +446,12 @@ def normalize_text_chain(text: str) -> str:
     for pat, repl, clauses in _GUARDED_STEPS:
         if _GUARDS_ENABLED and not _clauses_ok(clauses, cs, x):
             continue
+        # function replacements (the \b\d+ step) rebuild an EQUAL string
+        # for dotless matches; the y != x check keeps those identity
+        # rewrites from rebuilding the charset or dropping the original
+        # object (which later steps' zero-match fast path reuses)
         y = pat.sub(repl, x)
-        if y is not x:
+        if y is not x and y != x:
             x = y
             cs = set(x)
     # texts.py:111. clean() maps tab/newline to ' ' besides removing chars,
@@ -733,6 +770,53 @@ TRIPLE_PATTERNS: list[TriplePattern] = [
        screens=(("baseline",),)),
 ]
 
+# --- compiled screen bitsets -----------------------------------------------
+# Bit b of a sentence's mask is set iff _SCREEN_LITERALS[b] occurs in the
+# lowercased sentence; a pattern passes iff the mask intersects EVERY one of
+# its group masks. This is literally `all(any(t in low for t in grp) for grp
+# in pat.screens)` — the screens stay the declarative source of truth and
+# keep their necessity property tests — evaluated as C-level substring
+# probes + int ANDs instead of one nested generator pair per (sentence,
+# pattern). Equivalence is asserted per-sentence in tests/test_core.py.
+_SCREEN_LITERALS: list[str] = []
+_SCREEN_LIT_BIT: dict[str, int] = {}
+
+
+def _screen_group_masks(screens: tuple) -> tuple[int, ...]:
+    masks = []
+    for grp in screens:
+        m = 0
+        for lit in grp:
+            bit = _SCREEN_LIT_BIT.get(lit)
+            if bit is None:
+                bit = 1 << len(_SCREEN_LITERALS)
+                _SCREEN_LIT_BIT[lit] = bit
+                _SCREEN_LITERALS.append(lit)
+            m |= bit
+        masks.append(m)
+    return tuple(masks)
+
+
+_PATTERN_SCREEN_MASKS: list[tuple[TriplePattern, tuple[int, ...]]] = [
+    (pat, _screen_group_masks(pat.screens)) for pat in TRIPLE_PATTERNS]
+_SCREEN_PROBES: list[tuple[str, int]] = [
+    (lit, _SCREEN_LIT_BIT[lit]) for lit in _SCREEN_LITERALS]
+#: mask -> patterns (TRIPLE_PATTERNS order) whose screens all intersect it.
+#: Hard-capped memo: distinct masks over a corpus are few (most sentences
+#: light 0-3 bits); past the cap the tuple is rebuilt, never evicted.
+_SCREEN_DISPATCH: dict[int, tuple] = {}
+
+
+def _patterns_for_mask(mask: int) -> tuple:
+    pats = _SCREEN_DISPATCH.get(mask)
+    if pats is None:
+        pats = tuple(pat for pat, gmasks in _PATTERN_SCREEN_MASKS
+                     if all(mask & g for g in gmasks))
+        if len(_SCREEN_DISPATCH) < 4096:
+            _SCREEN_DISPATCH[mask] = pats
+    return pats
+
+
 _ENT_RE = re.compile(ENT)
 _CITE_PAREN_RE = re.compile(r"\((.*?)\)")
 _CITE_INNER_RE = re.compile(r"\( *(?:[\w& \.,*-]+\d{4};?)+ *\)")
@@ -884,8 +968,11 @@ def _scan_sentences(sentences: list[str]) -> list[list[tuple]]:
     for sentence in sentences:
         if _GUARDS_ENABLED and sentence.isascii():
             low = sentence.lower()
-            hits = [(pat, m) for pat in TRIPLE_PATTERNS
-                    if all(any(t in low for t in grp) for grp in pat.screens)
+            mask = 0
+            for lit, bit in _SCREEN_PROBES:
+                if lit in low:
+                    mask |= bit
+            hits = [(pat, m) for pat in _patterns_for_mask(mask)
                     for m in pat.regex.finditer(sentence)]
         elif _CUE_RE.search(sentence):
             hits = [(pat, m) for pat in TRIPLE_PATTERNS

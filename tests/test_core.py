@@ -445,6 +445,47 @@ def test_pattern_screens_are_necessary_for_every_pattern():
     assert n_screened_out > 1000   # the corpus must exercise the screens
 
 
+def test_screen_mask_dispatch_equals_declarative_screens():
+    """The compiled bitset dispatch (_patterns_for_mask over _SCREEN_PROBES)
+    must select EXACTLY the patterns the declarative formula
+    `all(any(t in low for t in grp) for grp in pat.screens)` admits, for
+    every sentence — corpus sentences, the per-pattern cue variants, and
+    literal-collision traps (stems that are substrings of other stems:
+    use/because, test/latest, vs/versus, data/database)."""
+    from master_project_spark import core
+    from master_project_spark.datagen import gen_transcripts
+
+    def naive(low):
+        return tuple(p for p in core.TRIPLE_PATTERNS
+                     if all(any(t in low for t in grp) for grp in p.screens))
+
+    def masked(low):
+        mask = 0
+        for lit, bit in core._SCREEN_PROBES:
+            if lit in low:
+                mask |= bit
+        return core._patterns_for_mask(mask)
+
+    sents = [
+        "because the latest database versus vs. usage tested collections",
+        "trained tuned outperform beat surpass evaluated benchmarked",
+        "data corpus from against baseline compar employ leverag utiliz",
+        "", "x", "no literals at all here",
+    ]
+    for r in gen_transcripts(400, 25, seed=31):
+        sents.extend(core.normalize_and_split(r["text"]))
+    n = 0
+    for s in sents:
+        low = s.lower()
+        assert masked(low) == naive(low), repr(s)
+        n += 1
+    assert n > 1500
+    # every bit pattern seen must have produced an order-preserving tuple
+    for mask, pats in core._SCREEN_DISPATCH.items():
+        idx = [core.TRIPLE_PATTERNS.index(p) for p in pats]
+        assert idx == sorted(idx)
+
+
 def test_screened_scan_equals_unscreened_on_cue_rich_text():
     """Guards-on vs guards-off extract_turn equality on text DENSE in cue
     words and near-cue traps (use/because, test/latest, vs/versus), mixed
