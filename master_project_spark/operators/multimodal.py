@@ -247,6 +247,40 @@ _JPEG_SOF_MARKERS = frozenset(
      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF})
 
 
+def _decode_webp_lossless(content: bytes) -> tuple[int, int, float]:
+    """Full pixel decode for the LOSSLESS WebP flavor: RIFF walk to the
+    VP8L chunk (also found inside VP8X extended containers), then the
+    pure-Python RFC 9649 decoder (operators/vp8l.py). Mirrors the JPEG
+    Annex-F path: real mean luma via _LUMA over the decoded ARGB, with
+    the >4 Mpx pure-Python fence checked from the header BEFORE
+    decoding. Lossy VP8 (boolean arithmetic coder) raises to the
+    dimensions+stand-in fallback."""
+    import numpy as np
+
+    from .vp8l import decode_vp8l
+
+    pos = 12
+    while pos + 8 <= len(content):
+        fourcc = content[pos:pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4:pos + 8])
+        if fourcc == b"VP8L":
+            body = content[pos + 8:pos + 8 + size]
+            if len(body) < 5 or body[0] != 0x2F:
+                raise ValueError("WebP: bad VP8L signature")
+            (hdr,) = struct.unpack("<I", body[1:5])
+            w = 1 + (hdr & 0x3FFF)
+            hgt = 1 + ((hdr >> 14) & 0x3FFF)
+            if w * hgt > 4_000_000:            # pure-Python decode fence
+                raise ValueError("WebP: VP8L image over decode fence")
+            w, hgt, px = decode_vp8l(body)
+            arr = np.array(px, dtype=np.uint64)
+            luma = ((arr >> 16) & 0xFF) * _LUMA[0] \
+                + ((arr >> 8) & 0xFF) * _LUMA[1] + (arr & 0xFF) * _LUMA[2]
+            return w, hgt, round(float(luma.mean()) / 255.0, 6)
+        pos += 8 + size + (size & 1)
+    raise ValueError("WebP: no VP8L chunk (lossy pixels stay a stand-in)")
+
+
 def _jpeg_dimensions(content: bytes) -> tuple[int, int]:
     """Marker walk to the first SOFn segment -> (width, height). A real
     header parse (round-4 VERDICT ask #7) — only the pixel decode (DCT)
@@ -548,14 +582,15 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, float]:
 
 def _decode_image(content: bytes) -> tuple[int, int, float]:
     """(width, height, mean_luma in [0,1]). REAL decode for PNG / BMP /
-    PPM-P6 / baseline-sequential JPEG (pure stdlib + numpy — the JPEG
-    path is a full Annex-F Huffman + IDCT luma decode); non-baseline JPEG
-    (progressive, arithmetic, 12-bit, >4 Mpx fence) and WebP (all three
-    flavors: VP8 keyframe tag / VP8L packed / VP8X canvas) get REAL
-    dimensions from their headers with the luma a content-hash stand-in;
-    containers whose pixels need codecs absent here keep the full
-    deterministic stand-in at this same seam, the documented stub
-    boundary.
+    PPM-P6 / baseline-sequential JPEG (full Annex-F Huffman + IDCT luma
+    decode) / lossless WebP (full RFC 9649 VP8L decode — transforms,
+    color cache, LZ77, meta prefix codes); non-baseline JPEG
+    (progressive, arithmetic, 12-bit, >4 Mpx fence) and lossy/extended
+    WebP (VP8 keyframe tag / VP8X canvas) get REAL dimensions from
+    their headers with the luma a content-hash stand-in — the VP8
+    boolean arithmetic coder is the one remaining codec behind the
+    documented stub seam; containers whose pixels need codecs absent
+    here keep the full deterministic stand-in at this same boundary.
 
     NEVER raises (ADVICE round-4 medium): a truncated/corrupt/unsupported-
     variant payload falls back to the stand-in instead of failing the
@@ -579,6 +614,10 @@ def _decode_image(content: bytes) -> tuple[int, int, float]:
         except Exception:
             pass
     if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        try:
+            return _decode_webp_lossless(content)
+        except Exception:
+            pass                   # lossy / corrupt / fenced -> stand-in
         try:
             w, hgt = _webp_dimensions(content)
             return w, hgt, round(h[2] / 255.0, 6)
