@@ -130,13 +130,26 @@ def test_vp8l_subtract_green_roundtrip():
     _roundtrip(_image(17, 5, seed=7), 17, 5, subtract_green=True)
 
 
-@pytest.mark.parametrize("mode", [1, 2, 3, 4, 7, 12])
+@pytest.mark.parametrize("mode", list(range(14)))
 def test_vp8l_predictor_roundtrip(mode):
     _roundtrip(_image(19, 9, seed=8 + mode), 19, 9, predictor_mode=mode,
                pred_bits=3)
     # tile size larger than the image: single tile
     _roundtrip(_image(6, 4, seed=30 + mode), 6, 4, predictor_mode=mode,
                pred_bits=5)
+    # low-entropy gradient image: exercises ties in Select and negative
+    # half-differences in ClampAddSubtractHalf
+    grad = [0xFF000000 | (((x * 7 + y * 3) % 256) << 16)
+            | (((x * 2) % 256) << 8) | ((y * 5) % 256)
+            for y in range(6) for x in range(16)]
+    _roundtrip(grad, 16, 6, predictor_mode=mode, pred_bits=2)
+
+
+def test_vp8l_predictor_plus_color_transform_roundtrip():
+    """Two sub-image transforms read in order [predictor, color] must be
+    inverted in reverse order; forward-encoded as predictor-then-color."""
+    _roundtrip(_image(18, 7, seed=60), 18, 7, predictor_mode=7,
+               pred_bits=3, color_cte=0x0503FA)
 
 
 def test_vp8l_color_transform_roundtrip():

@@ -293,9 +293,13 @@ def encode_vp8l(argb: list[int], w: int, h: int, *, cache_bits: int = 0,
                 else:
                     L, T = px[i - 1], px[i - xsize]
                     TL, TR = px[i - xsize - 1], px[i - xsize + 1]
-                    pred = {1: L, 2: T, 3: TR, 4: TL,
-                            7: _avg(L, T), 12: _casf(L, T, TL)}[
-                                predictor_mode]
+                    pred = {0: 0xFF000000, 1: L, 2: T, 3: TR, 4: TL,
+                            5: _avg(_avg(L, TR), T), 6: _avg(L, TL),
+                            7: _avg(L, T), 8: _avg(TL, T),
+                            9: _avg(T, TR),
+                            10: _avg(_avg(L, TL), _avg(T, TR)),
+                            11: _sel(L, T, TL), 12: _casf(L, T, TL),
+                            13: _cash(L, T, TL)}[predictor_mode]
                 res[i] = _subpix(px[i], pred)
         px = res
 
@@ -418,6 +422,30 @@ def _casf(l: int, t: int, tl: int) -> int:
     for sh in (24, 16, 8, 0):
         v = ((l >> sh) & 0xFF) + ((t >> sh) & 0xFF) - ((tl >> sh) & 0xFF)
         out |= (0 if v < 0 else 255 if v > 255 else v) << sh
+    return out
+
+
+def _sel(l: int, t: int, tl: int) -> int:
+    """RFC Select: per-channel predict L+T-TL; Manhattan distance of the
+    predict to L is sum |T-TL| and to T is sum |L-TL| (the L/T terms
+    cancel); pick L strictly, T on ties."""
+    p_l = sum(abs(((t >> s) & 0xFF) - ((tl >> s) & 0xFF))
+              for s in (24, 16, 8, 0))
+    p_t = sum(abs(((l >> s) & 0xFF) - ((tl >> s) & 0xFF))
+              for s in (24, 16, 8, 0))
+    return l if p_l < p_t else t
+
+
+def _cash(l: int, t: int, tl: int) -> int:
+    """RFC ClampAddSubtractHalf over Average2(L,T) and TL, with C-style
+    truncation toward zero for the negative half-difference."""
+    out = 0
+    for s in (24, 16, 8, 0):
+        a = ((((l >> s) & 0xFF) + ((t >> s) & 0xFF)) >> 1)
+        d = a - ((tl >> s) & 0xFF)
+        q = d // 2 if d >= 0 else -((-d) // 2)
+        v = a + q
+        out |= (0 if v < 0 else 255 if v > 255 else v) << s
     return out
 
 
