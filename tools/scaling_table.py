@@ -15,7 +15,13 @@ if __name__ == "__main__":
     runs = []
     for path in sys.argv[1:]:
         for ln in open(path):
-            d = json.loads(ln)
+            ln = ln.strip()
+            if not ln.startswith("{"):         # logs may interleave
+                continue                       # Spark/bench progress lines
+            try:
+                d = json.loads(ln)
+            except ValueError:
+                continue
             if "run" in d:
                 runs.append(d)
     # derive the two leg keys from the log itself (ADVICE round-4: bench.py
