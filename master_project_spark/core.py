@@ -1158,15 +1158,29 @@ def verify_offline(entity: str, mtype: str, alias_lookup: set[str]) -> bool:
 EMBED_DIM = 64
 
 
+@functools.lru_cache(maxsize=1 << 18)
+def _embed_tok(tok: str, dim: int) -> tuple[int, float]:
+    """(bucket index, sign) of one token's hashed-BoW contribution. Pure
+    function of the token; memoized because the md5 here was ~the entire
+    cost of embed_text while corpus token vocabularies are tiny relative
+    to token counts (measured 6-8x on the semantic-search bench query).
+    Cache bound: 262144 entries x ~100 B ≈ 25 MB/worker worst case."""
+    h = hashlib.md5(tok.encode("utf-8")).digest()
+    return int.from_bytes(h[:4], "big") % dim, \
+        (1.0 if h[4] % 2 == 0 else -1.0)
+
+
 def embed_text(text: str, dim: int = EMBED_DIM) -> list[float]:
     """Deterministic hashed bag-of-words embedding, L2-normalized. Stand-in
     for 'all-MiniLM-L6-v2' (384-d) with the same dataflow shape; dim=64
-    matches the sandbox ``embeddings`` testdata."""
+    matches the sandbox ``embeddings`` testdata. Bit-exact regardless of
+    the token-level memo: contributions are ±1.0 integers, whose float
+    accumulation is exact (well inside 2^53), so bucket sums — and the
+    norm computed from them in fixed index order — cannot depend on
+    evaluation order."""
     vec = [0.0] * dim
     for tok in words(text.lower()):
-        h = hashlib.md5(tok.encode("utf-8")).digest()
-        idx = int.from_bytes(h[:4], "big") % dim
-        sign = 1.0 if h[4] % 2 == 0 else -1.0
+        idx, sign = _embed_tok(tok, dim)
         vec[idx] += sign
     norm = sum(v * v for v in vec) ** 0.5
     if norm > 0:

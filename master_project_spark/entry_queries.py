@@ -676,7 +676,15 @@ def pattern_triples_arrow(spark, sf_dir):
 def pattern_triples(spark, sf_dir):
     """Pattern-based (subj, pred, obj) extraction with Spark built-ins only
     (regexp_extract_all + arrays_zip + explode) — the SQL-checkable analog
-    of the pipeline's pandas-UDF extractor (ent_extraction.py:295-344)."""
+    of the pipeline's pandas-UDF extractor (ent_extraction.py:295-344).
+
+    Deliberately a 3-branch union (one codegen stage per pattern), NOT a
+    single scan exploding a concat of per-pattern struct arrays: that
+    "one-pass" form was measured 2.6x SLOWER at the 10x bench scale
+    (1.76 s -> 4.62 s, sf1.0 A/B) because transform/concat are
+    higher-order functions evaluated interpreted, outside whole-stage
+    codegen — the extra parquet scans are far cheaper than losing codegen
+    on the regex work (OPTIMIZATION_r06.md)."""
     docs = _t(spark, sf_dir, "documents")
     outs = []
     for pred, pat in _PATTERN_PREDS:
@@ -991,7 +999,14 @@ def fixpoint_entities(spark, sf_dir):
     """C5 — the extraction fixpoint as a driver loop (corpus filter: seed
     phrase round 1, grown literal keywords after -> extract -> verify by
     alias membership -> set-union + convergence probe -> keyword growth).
-    The DuckDB twin unrolls the identical loop _FIX_ROUNDS times."""
+    The DuckDB twin unrolls the identical loop _FIX_ROUNDS times.
+
+    Kept in the scan-per-round shape ON PURPOSE (r6): precomputing the
+    verified (doc_id, entity) pairs once over ALL documents (the twin's
+    ``ax`` CTE) and semi-joining per round was A/B-measured ~1.7x SLOWER
+    at sf1.0 (median 3.3 s vs 2.0 s) — the keyword corpora are selective
+    enough that extracting over per-round subsets beats one full-corpus
+    extraction plus per-round joins (OPTIMIZATION_r06.md)."""
     from .fixpoint import fixpoint_loop
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     res = fixpoint_loop(
@@ -1087,16 +1102,21 @@ def cosine_topk(spark, sf_dir):
     product via zip_with/aggregate (no Python in the hot path), then W3
     ranking window. Scores rounded to 5 so both engines rank identically."""
     e = _t(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
-    corpus = e.filter(F.col("vec_id") >= 8).select(
-        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("ce"))
     qnorm = "sqrt(aggregate(qe, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
     cnorm = "sqrt(aggregate(ce, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    # norms are per-vector, so compute each ONCE before the cross join
+    # instead of once per (query, corpus) pair — same doubles, same
+    # product order, 1/3 the per-pair expression work (guide §1.2 step 2)
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")) \
+        .withColumn("qn", F.expr(qnorm))
+    corpus = e.filter(F.col("vec_id") >= 8).select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("ce")) \
+        .withColumn("cn", F.expr(cnorm))
     scored = (
         corpus.crossJoin(F.broadcast(queries))
         .withColumn("score", F.round(
-            F.expr(_DOT) / (F.expr(qnorm) * F.expr(cnorm)), 5)))
+            F.expr(_DOT) / (F.col("qn") * F.col("cn")), 5)))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("corpus_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -1123,15 +1143,18 @@ GROUP BY la, lb
 def label_pair_cosine(spark, sf_dir):
     """Embedding-cosine near-dup statistics grouped by label pair."""
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 80)
-    a = e.select(F.col("vec_id").alias("va"), F.col("label").alias("la"),
-                 F.col("embedding").alias("qe"))
-    b = e.select(F.col("vec_id").alias("vb"), F.col("label").alias("lb"),
-                 F.col("embedding").alias("ce"))
     qnorm = "sqrt(aggregate(qe, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
     cnorm = "sqrt(aggregate(ce, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    # per-vector norms computed once per side, not once per pair
+    a = e.select(F.col("vec_id").alias("va"), F.col("label").alias("la"),
+                 F.col("embedding").alias("qe")) \
+        .withColumn("qn", F.expr(qnorm))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("label").alias("lb"),
+                 F.col("embedding").alias("ce")) \
+        .withColumn("cn", F.expr(cnorm))
     return (
         a.join(b, (F.col("va") < F.col("vb")) & (F.col("la") <= F.col("lb")))
-        .withColumn("cos", F.expr(_DOT) / (F.expr(qnorm) * F.expr(cnorm)))
+        .withColumn("cos", F.expr(_DOT) / (F.col("qn") * F.col("cn")))
         .groupBy(F.col("la").alias("label_a"), F.col("lb").alias("label_b"))
         .agg(F.round(F.avg("cos"), 4).alias("avg_cosine"),
              F.count(F.lit(1)).alias("n_pairs")))

@@ -153,12 +153,15 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
            "CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
     norm = ("sqrt(aggregate({c}, CAST(0.0 AS DOUBLE), "
             "(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # per-vector norms computed once per side before the pair join, not
+    # once per pair — identical doubles, identical product order
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")) \
+        .withColumn("na", F.expr(norm.format(c="va")))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")) \
+        .withColumn("nb", F.expr(norm.format(c="vb")))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", F.round(
-            F.expr(dot) / (F.expr(norm.format(c="va"))
-                           * F.expr(norm.format(c="vb"))), 6))
+            F.expr(dot) / (F.col("na") * F.col("nb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine"))

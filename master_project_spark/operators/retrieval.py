@@ -67,22 +67,31 @@ def semantic_search(corpus: DataFrame, queries: list[str] | DataFrame,
     if not isinstance(queries, DataFrame):
         queries = query_embeddings_df(spark, queries)
     id_cols = id_cols or ["conv_id", "chunk_idx"]
+    # Rank on (ids, score) ONLY — the text payload does not enter the
+    # scoring cross-join or the ranking window's exchange (guide §8: every
+    # shuffle but the last moves a lightweight proxy; the heavy column is
+    # attached to the n_queries x top_k winners afterwards by a broadcast
+    # join, so corpus text is never shuffled at all). Scores, ordering keys
+    # and output rows are identical to the fused form.
     if embeddings is not None:
-        embedded = corpus.select(
-            *id_cols, F.col(text_col).alias("hit_text")).join(
-                embeddings.select(*id_cols, "ce"), id_cols)
+        embedded = embeddings.select(*id_cols, "ce").join(
+            corpus.select(*id_cols), id_cols, "left_semi")
     else:
         embedded = corpus.select(
-            *id_cols, F.col(text_col).alias("hit_text"),
-            embed_text_udf(F.col(text_col)).alias("ce"))
+            *id_cols, embed_text_udf(F.col(text_col)).alias("ce"))
     scored = (
         embedded
-        .crossJoin(F.broadcast(queries))
-        .withColumn("score", F.round(F.expr(_DOT), 6)))
+        .crossJoin(F.broadcast(queries.select("query_id", "qe")))
+        .withColumn("score", F.round(F.expr(_DOT), 6))
+        .select("query_id", *id_cols, "score"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), *[F.col(c) for c in id_cols])
-    return (scored.withColumn("rank", F.row_number().over(w))
+    topk = (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= top_k)
+            .join(F.broadcast(queries.select("query_id", "query")),
+                  "query_id"))
+    return (corpus.select(*id_cols, F.col(text_col).alias("hit_text"))
+            .join(F.broadcast(topk), id_cols)
             .select("query_id", "query", *id_cols, "hit_text", "score",
                     "rank"))
 

@@ -463,15 +463,35 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
                     F.coalesce(F.col("prior"), F.lit(0.0)).alias("link_score"),
                     "batch"))
 
+    # canonicalization depends only on wave-2 outputs (mentions + triples),
+    # so it rides the SAME concurrent wave as verification/linking (r6: it
+    # previously ran serially after them — its driver-loop CC probes are
+    # latency-bound and overlap perfectly with the two Arrow stages)
+    canon_info = {"n_dropped_buckets": 0}
+
+    def _entity_map():
+        surfaces = (
+            mentions.select("surface")
+            .union(triples.filter(F.col("subj") != core.SELF_SUBJECT)
+                   .select(F.col("subj").alias("surface")))
+            .distinct())
+        em, n_dropped = build_entity_map(surfaces, alias_dict)
+        canon_info["n_dropped_buckets"] = n_dropped
+        return em.withColumn("batch", F.lit(batch_token))
+
     w3 = st.run_group([
         ("verified_triples", _verified_triples,
          {"extra": alias_fp, "partition_by": ["batch"]}),
         ("linked_mentions", _linked,
          {"extra": alias_fp, "partition_by": ["batch"]}),
+        ("entity_map", _entity_map,
+         {"extra": alias_fp, "partition_by": ["batch"]}),
     ])
     tables["verified_triples"] = w3["verified_triples"].drop("batch")
     linked = w3["linked_mentions"].drop("batch")
     tables["linked_mentions"] = linked
+    entity_map = w3["entity_map"].drop("batch")
+    tables["entity_map"] = entity_map
 
     # ---- extraction fixpoint (VERDICT gap #1): the reference's core
     # algorithm — retrieval-gated extract + verify + keyword growth to
@@ -512,25 +532,6 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
                 or st.is_current("chunk_embeddings", alias_fp):
             tables["chunk_embeddings"] = st.run(
                 "chunk_embeddings", lambda: embed_cache.df, extra=alias_fp)
-
-    # ---- canonicalize surfaces (subjects contribute too, minus 'self');
-    # the LSH+CC computation runs INSIDE the stage closure so a resumed run
-    # skips it entirely
-    canon_info = {"n_dropped_buckets": 0}
-
-    def _entity_map():
-        surfaces = (
-            mentions.select("surface")
-            .union(triples.filter(F.col("subj") != core.SELF_SUBJECT)
-                   .select(F.col("subj").alias("surface")))
-            .distinct())
-        em, n_dropped = build_entity_map(surfaces, alias_dict)
-        canon_info["n_dropped_buckets"] = n_dropped
-        return em.withColumn("batch", F.lit(batch_token))
-
-    entity_map = st.run("entity_map", _entity_map, extra=alias_fp,
-                        partition_by=["batch"]).drop("batch")
-    tables["entity_map"] = entity_map
 
     # ---- graph materialization
     def _nodes():
