@@ -33,6 +33,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _tp(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
+    """Read + spread an UNSPLITTABLE scan before per-row-heavy compute.
+
+    The driver's tables are single-file parquet with one row group per
+    ~15-40 MB (verified via footer metadata), and Spark cannot split
+    inside a row group — so every regex/hash/UDF-heavy scan over
+    documents/events executes on ONE task no matter the cluster size.
+    Guide §2.5's remedy for unsplittable input: repartition immediately
+    after the read. Hash-partitioned on the table's unique key (balanced,
+    deterministic, and exempt from the keyless round-robin's
+    sort-before-repartition pass) and sized off defaultParallelism, so it
+    scales with the cluster instead of encoding the local core count.
+    Row-wise maps and aggregations are partitioning-independent, so
+    results are unchanged."""
+    return _t(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism, F.col(key))
+
+
 TOKEN_RE = "[A-Za-z0-9]+"
 STOPWORDS_RE = r"\b(the|a|of|and|to|in|is|it|for|on)\b"
 
@@ -108,8 +126,11 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n_name
 """)
 def revenue_by_nation(spark, sf_dir):
-    """J5 multi-join + A3. nation is broadcast (tiny dim)."""
-    l = _t(spark, sf_dir, "lineitem")
+    """J5 multi-join + A3. nation is broadcast (tiny dim). The lineitem
+    fact is spread off its 6-row-group file before the join chain (guide
+    §2.5; A/B at sf1.0: 3.36 s -> 1.41 s median) — the join probe and the
+    countDistinct expand then run cluster-wide instead of on 6 tasks."""
+    l = _tp(spark, sf_dir, "lineitem", "l_orderkey")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
@@ -377,7 +398,7 @@ def sessionize_users(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     lag_us = F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
     return (
-        _t(spark, sf_dir, "events")
+        _tp(spark, sf_dir, "events", "event_id")
         .withColumn("is_new",
                     F.when(lag_us.isNull()
                            | ((F.unix_micros(F.col("ts").cast("timestamp")) - lag_us) > 300_000_000),
@@ -423,7 +444,7 @@ WHERE regexp_matches(text, '{_CORPUS_PATTERN}')
 def corpus_keyword_filter(spark, sf_dir):
     """P1/P2 — the reference's regex keyword corpus filter
     (ent_extraction.py:26-33) as a single rlike alternation."""
-    return _t(spark, sf_dir, "documents") \
+    return _tp(spark, sf_dir, "documents", "doc_id") \
         .filter(F.col("text").rlike(_CORPUS_PATTERN)) \
         .select("doc_id")
 
@@ -439,7 +460,7 @@ def token_stats(spark, sf_dir):
     """F20 token counting (pydash words analog, texts.py:14)."""
     toks = F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0))
     return (
-        _t(spark, sf_dir, "documents")
+        _tp(spark, sf_dir, "documents", "doc_id")
         .select("doc_id",
                 F.size(toks).alias("n_tokens"),
                 F.size(F.array_distinct(toks)).alias("n_distinct"),
@@ -451,7 +472,7 @@ SELECT doc_id, sha256(text) AS content_hash FROM documents
 """)
 def doc_sha256(spark, sf_dir):
     """F1 content hashing (utils.py:30-35)."""
-    return _t(spark, sf_dir, "documents") \
+    return _tp(spark, sf_dir, "documents", "doc_id") \
         .select("doc_id", F.sha2("text", 256).alias("content_hash"))
 
 
@@ -462,7 +483,7 @@ FROM documents
 def normalized_text_hash(spark, sf_dir):
     """F2 whitespace collapse + trim (texts.py:37), hashed."""
     return (
-        _t(spark, sf_dir, "documents")
+        _tp(spark, sf_dir, "documents", "doc_id")
         .select("doc_id",
                 F.md5(F.trim(F.regexp_replace("text", r"\s+", " ")))
                 .alias("norm_hash")))
@@ -482,7 +503,7 @@ def langid_heuristic(spark, sf_dir):
         F.lower("text"), F.lit(STOPWORDS_RE), F.lit(0)))
     toks = F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0)))
     return (
-        _t(spark, sf_dir, "documents")
+        _tp(spark, sf_dir, "documents", "doc_id")
         .select("doc_id", hits.alias("en_hits"),
                 F.when(hits * 10 >= toks, "en").otherwise("unk")
                 .alias("predicted_lang")))
@@ -505,7 +526,7 @@ def quality_score(spark, sf_dir):
         F.lower("text"), F.lit(STOPWORDS_RE), F.lit(0)))
     toks = F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0)))
     return (
-        _t(spark, sf_dir, "documents")
+        _tp(spark, sf_dir, "documents", "doc_id")
         .select("doc_id",
                 F.round(hits.cast("double") / F.greatest(toks, F.lit(1)), 4)
                 .alias("stopword_ratio"),
@@ -531,7 +552,7 @@ FROM documents
 def bpe_token_stats(spark, sf_dir):
     """Token counting, training-data-pipeline op: whitespace tokens + a
     BPE-ish pretokenizer regex (GPT-2 pattern shape, RE2-safe subset)."""
-    return (_t(spark, sf_dir, "documents")
+    return (_tp(spark, sf_dir, "documents", "doc_id")
             .select("doc_id",
                     F.size(F.regexp_extract_all("text", F.lit(_BPE_RE),
                                                 F.lit(0)))
@@ -564,7 +585,7 @@ def rolling_hash_fingerprint(spark, sf_dir):
           f"aggregate(slice({vs}, 2, greatest(size({vs}) - 1, 0)), "
           f"element_at({vs}, 1), "
           f"(a, x) -> pmod(a * 31 + x, 2147483647L)) end")
-    return (_t(spark, sf_dir, "documents")
+    return (_tp(spark, sf_dir, "documents", "doc_id")
             .select("doc_id", F.expr(fp).alias("fp")))
 
 
@@ -580,7 +601,7 @@ def bow_dedup_groups(spark, sf_dir):
     """Exact near-dup: bag-of-words fingerprint groups (dedup op)."""
     toks = F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0))
     return (
-        _t(spark, sf_dir, "documents")
+        _tp(spark, sf_dir, "documents", "doc_id")
         .select("doc_id",
                 F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(toks))))
                 .alias("fp"))
@@ -613,7 +634,7 @@ def minhash_band_groups(spark, sf_dir):
         F.expr(f"array_min(transform(toks, t -> md5(concat('{i}:', t))))")
         for i in range(4)]))
     return (
-        _t(spark, sf_dir, "documents")
+        _tp(spark, sf_dir, "documents", "doc_id")
         .select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") > 0)
         .select("doc_id", sig.alias("band"))
@@ -653,7 +674,7 @@ def pattern_triples_arrow(spark, sf_dir):
 
     import pandas as pd
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents", "doc_id").select("doc_id", "text")
     compiled = [(pred, _re.compile(pat)) for pred, pat in _PATTERN_PREDS]
 
     def batches(it):
@@ -685,7 +706,7 @@ def pattern_triples(spark, sf_dir):
     higher-order functions evaluated interpreted, outside whole-stage
     codegen — the extra parquet scans are far cheaper than losing codegen
     on the regex work (OPTIMIZATION_r06.md)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents", "doc_id")
     outs = []
     for pred, pat in _PATTERN_PREDS:
         z = docs.select(
@@ -730,7 +751,7 @@ def citation_strip(spark, sf_dir):
     c = F.col("text")
     for pat in core.GENERAL_STRIP:
         c = F.regexp_replace(c, F.lit(pat), F.lit(""))
-    return _t(spark, sf_dir, "documents") \
+    return _tp(spark, sf_dir, "documents", "doc_id") \
         .select("doc_id", F.md5(c).alias("stripped_hash"))
 
 
@@ -919,7 +940,7 @@ def multimodal_binary_meta(spark, sf_dir):
     metadata (byte length + content hash); the decode path is the stubbed
     pandas UDF in operators/multimodal.py."""
     return (
-        _t(spark, sf_dir, "documents")
+        _tp(spark, sf_dir, "documents", "doc_id")
         .select("doc_id", F.octet_length("text").alias("n_bytes"),
                 F.md5("text").alias("content_md5")))
 
@@ -1008,7 +1029,7 @@ def fixpoint_entities(spark, sf_dir):
     enough that extracting over per-round subsets beats one full-corpus
     extraction plus per-round joins (OPTIMIZATION_r06.md)."""
     from .fixpoint import fixpoint_loop
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents", "doc_id").select("doc_id", "text")
     res = fixpoint_loop(
         docs,
         round1_corpus=lambda d: d.filter(
@@ -1056,7 +1077,7 @@ def title_coalesce(spark, sf_dir):
     """S6 — title coalesce: parsed title when present, id fallback
     (load_xml, utils.py:50-69). The 'parsed title' analog is a leading
     'table <word>' phrase; docs without one fall back to their id."""
-    return (_t(spark, sf_dir, "documents")
+    return (_tp(spark, sf_dir, "documents", "doc_id")
             .select("doc_id",
                     F.coalesce(
                         F.nullif(F.regexp_extract("text", "^(table [a-z]+)", 1),
@@ -1112,6 +1133,8 @@ def cosine_topk(spark, sf_dir):
         .withColumn("qn", F.expr(qnorm))
     corpus = e.filter(F.col("vec_id") >= 8).select(
         F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("ce")) \
+        .repartition(spark.sparkContext.defaultParallelism,
+                     F.col("corpus_id")) \
         .withColumn("cn", F.expr(cnorm))
     scored = (
         corpus.crossJoin(F.broadcast(queries))
@@ -1179,7 +1202,7 @@ def exact_dedup_documents(spark, sf_dir):
     #4: the bare corpus matched 0=0 at every sf). exact_dedup itself —
     map-side sha256 fingerprint + one hash aggregate — is unchanged."""
     from .operators.dedup import exact_dedup
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _tp(spark, sf_dir, "documents", "doc_id").select("doc_id", "text")
     replayed = (d.filter(F.col("doc_id") % 25 == 0)
                 .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
     return (exact_dedup(d.unionByName(replayed))
@@ -1399,7 +1422,7 @@ def simhash_documents(spark, sf_dir):
     """SimHash fingerprints (dedup op). The DuckDB twin replicates the
     md5-per-token bit-majority vote exactly (integer math throughout)."""
     from .udfs import simhash_udf
-    return _t(spark, sf_dir, "documents") \
+    return _tp(spark, sf_dir, "documents", "doc_id") \
         .select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
 
 
@@ -1660,7 +1683,7 @@ def semantic_search_documents(spark, sf_dir):
     DuckDB twin re-derives the md5 embedding in SQL, so the whole retrieval
     path is hash-verified."""
     from .operators.retrieval import DATASET_QUERIES, semantic_search
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents", "doc_id")
     return semantic_search(docs, DATASET_QUERIES[:5], text_col="text",
                            id_cols=["doc_id"], top_k=10)
 
@@ -1670,7 +1693,7 @@ def normalize_documents(spark, sf_dir):
     vectorized pandas UDF over documents (quirk-faithful core; rows-only —
     the 40-step regex chain is not reasonably SQL-expressible)."""
     from .udfs import normalize_text_udf, split_sentences_udf
-    return _t(spark, sf_dir, "documents").select(
+    return _tp(spark, sf_dir, "documents", "doc_id").select(
         "doc_id",
         F.md5(normalize_text_udf(F.col("text"))).alias("norm_hash"),
         F.size(split_sentences_udf(F.col("text"))).alias("n_sentences"))

@@ -46,10 +46,22 @@ _DOT = ("aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * "
 
 def query_embeddings_df(spark, queries: list[str]) -> DataFrame:
     """Compute query embeddings ONCE on the driver (C4: the reference's
-    disk-cached embeddings become an explicit broadcast side)."""
-    rows = [(i, q, core.embed_text(q)) for i, q in enumerate(queries)]
+    disk-cached embeddings become an explicit broadcast side).
+
+    Built from a pandas frame so the Arrow path yields a JVM-local table
+    (r6): the plain-list form becomes a pickled Python RDD whose every
+    broadcast/evaluation spins Python workers — measured seconds of
+    first-use latency in a fresh session for a 5-row constant table. The
+    float32 values are identical either way (both paths cast the same
+    doubles to FloatType)."""
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "query_id": range(len(queries)),
+        "query": list(queries),
+        "qe": [core.embed_text(q) for q in queries],
+    })
     return spark.createDataFrame(
-        rows, "query_id int, query string, qe array<float>")
+        pdf, "query_id int, query string, qe array<float>")
 
 
 def semantic_search(corpus: DataFrame, queries: list[str] | DataFrame,
@@ -81,15 +93,13 @@ def semantic_search(corpus: DataFrame, queries: list[str] | DataFrame,
             *id_cols, embed_text_udf(F.col(text_col)).alias("ce"))
     scored = (
         embedded
-        .crossJoin(F.broadcast(queries.select("query_id", "qe")))
+        .crossJoin(F.broadcast(queries.select("query_id", "query", "qe")))
         .withColumn("score", F.round(F.expr(_DOT), 6))
-        .select("query_id", *id_cols, "score"))
+        .select("query_id", "query", *id_cols, "score"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), *[F.col(c) for c in id_cols])
     topk = (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= top_k)
-            .join(F.broadcast(queries.select("query_id", "query")),
-                  "query_id"))
+            .filter(F.col("rank") <= top_k))
     return (corpus.select(*id_cols, F.col(text_col).alias("hit_text"))
             .join(F.broadcast(topk), id_cols)
             .select("query_id", "query", *id_cols, "hit_text", "score",

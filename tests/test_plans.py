@@ -60,9 +60,14 @@ def test_partial_aggregation(spark):
 
 def test_whole_stage_codegen_on_text_ops(spark):
     """textops are JVM expressions -> inside WholeStageCodegen, no
-    BatchEvalPython/ArrowEvalPython in the plan."""
-    p = plan(EQ.token_stats(spark, SF_DIR), mode="simple")
-    assert "*(1)" in p  # whole-stage-codegen marker in simple mode
+    BatchEvalPython/ArrowEvalPython in the plan. The scan-spread exchange
+    (r6, entry_queries._tp) wraps the query in AdaptiveSparkPlan, which
+    hides codegen markers until execution — so execute first and assert on
+    the FINAL adaptive plan."""
+    df = EQ.token_stats(spark, SF_DIR)
+    df.collect()
+    p = plan(df, mode="simple")
+    assert "*(" in p  # whole-stage-codegen marker (final AQE plan)
     assert "EvalPython" not in p
 
 
