@@ -259,6 +259,12 @@ class _StageRunner:
         if len(jobs) == 1:
             name, compute, kw = jobs[0]
             return {name: self.run(name, compute, **kw)}
+        # NOTE (r6): one-scheduler-pool-per-stage (root FAIR is fair ACROSS
+        # pools; the shared default pool is FIFO internally) was A/B'd in 3
+        # interleaved pairs and did NOT beat the shared pool (medians 32.3 s
+        # vs 28.1 s with one weather-outlier pair the other way) — the
+        # default pool's FIFO still backfills idle slots well enough at
+        # this stage mix, so the simpler form stays (OPTIMIZATION_r06.md).
         with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
             futs = {name: ex.submit(self.run, name, compute, **kw)
                     for name, compute, kw in jobs}
