@@ -24,14 +24,18 @@ _NORM = ("sqrt(aggregate({c}, CAST(0.0 AS DOUBLE), "
 
 def _scored(queries: DataFrame, corpus: DataFrame,
             qid: str, cid: str, qvec: str, cvec: str) -> DataFrame:
+    # norms are per-vector: compute each ONCE per side before the cross
+    # join, not once per (query, corpus) pair — same doubles, same product
+    # order, 1/3 the per-pair expression work (r6, guide §1.2 step 2)
     q = queries.select(F.col(qid).alias("query_id"),
-                       F.col(qvec).alias("qe"))
+                       F.col(qvec).alias("qe")) \
+        .withColumn("qn", F.expr(_NORM.format(c="qe")))
     c = corpus.select(F.col(cid).alias("corpus_id"),
-                      F.col(cvec).alias("ce"))
+                      F.col(cvec).alias("ce")) \
+        .withColumn("cn", F.expr(_NORM.format(c="ce")))
     return (c.crossJoin(F.broadcast(q))
             .withColumn("score", F.round(
-                F.expr(_DOT) / (F.expr(_NORM.format(c="qe"))
-                                * F.expr(_NORM.format(c="ce"))), 6)))
+                F.expr(_DOT) / (F.col("qn") * F.col("cn")), 6)))
 
 
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 20,
@@ -251,15 +255,16 @@ def lsh_ann_topk(queries: DataFrame, corpus: DataFrame, k: int = 20,
                 .drop("planes"))
 
     qb = bucketed(queries, qid, qvec, "query_id") \
-        .withColumnRenamed("v", "qe")
+        .withColumnRenamed("v", "qe") \
+        .withColumn("qn", F.expr(_NORM.format(c="qe")))
     cb = bucketed(corpus, cid, cvec, "corpus_id") \
-        .withColumnRenamed("v", "ce")
+        .withColumnRenamed("v", "ce") \
+        .withColumn("cn", F.expr(_NORM.format(c="ce")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("corpus_id"))
     return (cb.join(F.broadcast(qb), "bucket")
             .withColumn("score", F.round(
-                F.expr(_DOT) / (F.expr(_NORM.format(c="qe"))
-                                * F.expr(_NORM.format(c="ce"))), 6))
+                F.expr(_DOT) / (F.col("qn") * F.col("cn")), 6))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "corpus_id", "score", "rank"))
