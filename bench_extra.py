@@ -84,10 +84,12 @@ def explain(name: str, tag: str) -> None:
 
 
 if __name__ == "__main__":
-    cmd = sys.argv[1]
+    cmd = sys.argv[1] if len(sys.argv) > 1 else ""
     if cmd == "stages":
         stages(int(sys.argv[2]) if len(sys.argv) > 2 else 400000)
     elif cmd == "queries":
         queries(sys.argv[2] if len(sys.argv) > 2 else None)
     elif cmd == "explain":
         explain(sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else "before")
+    else:
+        sys.exit(__doc__)

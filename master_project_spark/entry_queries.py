@@ -397,8 +397,11 @@ def sessionize_users(spark, sf_dir):
     lives in streaming/stream_pipeline.py."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     lag_us = F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+    # plain _t: the heavy per-row work here runs AFTER the window's own
+    # hashpartitioning(user_id) exchange, so a scan spread would only add
+    # a redundant full shuffle of events (r6 review finding)
     return (
-        _tp(spark, sf_dir, "events", "event_id")
+        _t(spark, sf_dir, "events")
         .withColumn("is_new",
                     F.when(lag_us.isNull()
                            | ((F.unix_micros(F.col("ts").cast("timestamp")) - lag_us) > 300_000_000),
@@ -413,9 +416,12 @@ SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
 FROM events GROUP BY 1
 """)
 def json_event_buckets(spark, sf_dir):
-    """F-json: get_json_object over the events.props JSON column."""
+    """F-json: get_json_object over the events.props JSON column. The scan
+    is spread (_tp) because the JSON parse runs in the pre-exchange
+    partial-aggregation stage — single-task on the one-row-group events
+    file otherwise (guide §2.5)."""
     return (
-        _t(spark, sf_dir, "events")
+        _tp(spark, sf_dir, "events", "event_id")
         .withColumn("k_bucket",
                     (F.get_json_object("props", "$.k").cast("int") % 10))
         .groupBy("k_bucket")

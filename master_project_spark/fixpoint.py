@@ -138,13 +138,16 @@ def fixpoint_loop(chunks: DataFrame, *, round1_corpus, literal_corpus,
         if n_new == 0:
             converged = True
             break
-        # keywords stay LAZY (r6): they derive by one cheap projection from
-        # the just-checkpointed entities and are referenced exactly once
-        # (next round's broadcast corpus filter), so an eager checkpoint
-        # here was a pure extra job per round — measured 1.86 s -> 1.52 s
-        # median on the fixpoint_entities bench query (sf1.0, 5 runs).
+        # keywords checkpoint stays LAZY (r6): the eager materialization
+        # was a pure extra job per round — measured 1.86 s -> 1.52 s median
+        # on the fixpoint_entities bench query (sf1.0, 5 runs). eager=False
+        # (rather than no checkpoint at all) still caches the result on
+        # first use, so callers whose per-round corpus feeds SEVERAL
+        # actions (the retrieval-gated pipeline variant: embed-cache
+        # commit, top-k search, hit resolve) do not re-run the keyword
+        # derivation — incl. its pandas expand_udf — once per action.
         # Lineage stays truncated through the entities checkpoint.
-        keywords = grow_keywords(entities)
+        keywords = grow_keywords(entities).localCheckpoint(eager=False)
     return FixpointResult(entities=entities, rounds=rounds,
                           new_per_round=new_per_round, converged=converged)
 

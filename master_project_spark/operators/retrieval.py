@@ -71,6 +71,11 @@ def semantic_search(corpus: DataFrame, queries: list[str] | DataFrame,
     """Cosine top-k of every query against the corpus. Embeddings are
     unit-norm (core.embed_text), so the dot product IS the cosine.
 
+    ``id_cols`` must uniquely identify corpus rows (the same key contract
+    resolve_hit_rows relies on): ranking runs over one row per id and
+    hit_text is re-attached by an id join, so duplicate ids would share a
+    rank instead of consuming separate top-k slots.
+
     ``embeddings``: optional precomputed (id_cols..., ce) table covering at
     least the corpus ids — when given, the corpus is joined to it instead
     of re-running the embedding UDF (the embed-once path the fixpoint uses;

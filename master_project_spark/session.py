@@ -74,6 +74,11 @@ def get_spark(cores: int | None = None, app_name: str = "master_project_spark",
         # fact side. 64m is a production-sane default for executors with
         # GBs of heap; parameterised so a memory-tight deployment can lower
         # it (SPARK_GRAFT_BROADCAST_THRESHOLD, any Spark byte string).
+        # Sizing caveat: the estimate is COMPRESSED parquet bytes, so the
+        # built relation can be several x larger in memory — size the knob
+        # against driver/executor heap (this factory defaults the driver
+        # to 24g above; deployments on Spark's 1g default heap should keep
+        # 10m or raise memory alongside).
         .config("spark.sql.autoBroadcastJoinThreshold",
                 os.environ.get("SPARK_GRAFT_BROADCAST_THRESHOLD", "64m"))
         .config("spark.sql.session.timeZone", "UTC")
@@ -192,18 +197,26 @@ def _silence_python_accumulator_noise(spark: SparkSession) -> None:
     The filter is surgical: a log4j2 RegexFilter DENYing only messages
     starting 'Failed to update accumulator' on the root logger config —
     every other DAGScheduler (and any other) error still logs. Installed
-    before the first job, so no real event window is lost. Any failure to
-    install (logging backend swapped) leaves logging untouched."""
-    from pyspark.accumulators import _accumulatorRegistry
-    # aid=-1 is pyspark's own UDF-profiler results accumulator, registered
-    # unconditionally at context start but fed only under
-    # spark.python.profile (never set here); anything else would be a real
-    # user accumulator whose updates the filtered error could conceal.
-    assert set(_accumulatorRegistry) <= {-1}, (
-        "Python accumulators are registered; the PythonAccumulatorV2 log "
-        "filter would hide real data loss — remove it or the accumulators")
+    once per SparkContext (guarded like the warmup — getOrCreate returns
+    live sessions, and stacking one filter per get_spark call would grow
+    the root logger's filter chain unboundedly), before the first job, so
+    no real event window is lost. If the process DOES hold registered
+    Python accumulators (aid=-1 is pyspark's own UDF-profiler slot,
+    registered unconditionally but fed only under spark.python.profile;
+    pyspark never clears the module-global registry, so a stopped
+    session's accumulators linger), the filter is NOT installed — the
+    noise returns rather than risk concealing real accumulator-update
+    loss. Any failure to install (logging backend swapped) also leaves
+    logging untouched."""
     try:
-        jvm = spark.sparkContext._jvm
+        sc = spark.sparkContext
+        if ("logfilter:" + sc.applicationId) in _WARMED:
+            return
+        _WARMED.add("logfilter:" + sc.applicationId)
+        from pyspark.accumulators import _accumulatorRegistry
+        if not set(_accumulatorRegistry) <= {-1}:
+            return   # real Python accumulators exist: keep the errors loud
+        jvm = sc._jvm
         core = jvm.org.apache.logging.log4j.core
         flt = core.filter.RegexFilter.createFilter(
             "Failed to update accumulator \\d+ "
